@@ -1,0 +1,202 @@
+"""AutoMoE composite model: experts + extractors + context + gating + policy.
+
+Parity with reference models/automoe.py:13-299. The entire forward is one
+static graph: under `jax.jit` the four expert CNNs, the gating MLPs, and
+the policy head compile into a single fused XLA computation (the
+BASELINE.json north star). Differences from the reference, by design:
+
+  * NHWC image layout ([B,H,W,3]).
+  * The reference's per-expert try/except → zero-feature fallback
+    (automoe.py:181-185) is replaced by trace-time shape validation —
+    silently zeroing an expert is a correctness hazard under jit.
+  * Expert freezing (automoe.py:269-279) is functional: `expert_param_mask`
+    labels expert subtrees so trainers can stop gradients / mask the
+    optimizer instead of mutating requires_grad.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from automoe_tpu.configs import AutoMoEConfig, load_model_config
+from automoe_tpu.models.context import make_context_extractor
+from automoe_tpu.models.experts import (
+    BDDDetectionExpert,
+    BDDDrivableExpert,
+    BDDSegmentationExpert,
+    NuScenesExpert,
+)
+from automoe_tpu.models.extractors import make_extractor
+from automoe_tpu.models.gating import GatingNetwork
+from automoe_tpu.models.policy import TrajectoryPolicy
+
+Dtype = Any
+
+
+def _make_expert(cfg, dtype, name):
+    if cfg.type == "detection":
+        return BDDDetectionExpert(cfg.num_classes, dtype, name=name)
+    if cfg.type == "segmentation":
+        return BDDSegmentationExpert(cfg.num_classes, dtype, name=name)
+    if cfg.type == "drivable":
+        return BDDDrivableExpert(cfg.num_classes, dtype, name=name)
+    if cfg.type == "nuscenes":
+        return NuScenesExpert(
+            num_queries=cfg.num_queries,
+            fusion=cfg.fusion,
+            use_lidar=cfg.use_lidar,
+            use_tnet=cfg.use_tnet,
+            bbox_dim=cfg.bbox_dim,
+            num_classes=cfg.num_classes,
+            dtype=dtype,
+            name=name,
+        )
+    raise ValueError(f"Unknown expert type: {cfg.type}")
+
+
+def _last_step(x: jnp.ndarray) -> jnp.ndarray:
+    """[B] → [B,1]; [B,T>1] → last step [B,1] (automoe.py:108-134)."""
+    if x.ndim == 1:
+        return x[:, None]
+    if x.ndim == 2:
+        return x[:, -1:]
+    return x.reshape(x.shape[0], -1)[:, -1:]
+
+
+class AutoMoE(nn.Module):
+    config: AutoMoEConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: Dict[str, jnp.ndarray],
+        *,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        image = batch["image"]  # [B,H,W,3]
+        if image.ndim != 4 or image.shape[-1] != 3:
+            raise ValueError(f"expected NHWC image [B,H,W,3], got {image.shape}")
+        B = image.shape[0]
+
+        # --- context (simple path: last-step vehicle state) ---
+        zeros = jnp.zeros((B, 1), image.dtype)
+        speed = _last_step(batch["speed"]) if "speed" in batch else zeros
+        has_simple = all(k in batch for k in ("speed", "steering", "throttle", "brake"))
+        ctx_extractor = make_context_extractor(
+            cfg.context, self.dtype, name="context_extractor"
+        )
+        if cfg.context.type == "simple":
+            if has_simple:
+                steering = _last_step(batch["steering"])
+                throttle = _last_step(batch["throttle"])
+                brake = _last_step(batch["brake"])
+            else:
+                steering = throttle = brake = zeros
+            context_features = ctx_extractor(
+                speed, steering, throttle, brake, deterministic=deterministic
+            )
+        else:
+            context_data = {
+                "speed": speed,
+                "steering": _last_step(batch["steering"]) if "steering" in batch else zeros,
+                "throttle": _last_step(batch["throttle"]) if "throttle" in batch else zeros,
+                "brake": _last_step(batch["brake"]) if "brake" in batch else zeros,
+                "hour": batch.get("hour", zeros),
+                "minute": batch.get("minute", zeros),
+                "weather": batch.get("weather", {}),
+                "road": batch.get("road", {}),
+            }
+            context_features = ctx_extractor(context_data, deterministic=deterministic)
+
+        # --- experts (dense execution; unrolls into one fused graph) ---
+        expert_outputs: List[Any] = []
+        for i, ecfg in enumerate(cfg.experts):
+            expert = _make_expert(ecfg, self.dtype, name=f"expert_{i}")
+            if ecfg.type == "nuscenes":
+                lidar = batch.get("lidar")
+                if lidar is None:
+                    lidar = jnp.zeros((B, 1000, 3), image.dtype)
+                out = expert(
+                    {"image": image, "lidar": lidar},
+                    train=train,
+                    deterministic=deterministic,
+                )
+            else:
+                out = expert(image, train=train)
+            expert_outputs.append(out)
+
+        # --- uniform features + gating ---
+        expert_features = [
+            make_extractor(ecfg, self.dtype, name=f"extractor_{i}")(
+                out, deterministic=deterministic
+            )
+            for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
+        ]
+        gating = GatingNetwork(
+            num_experts=len(cfg.experts),
+            context_dim=cfg.context.context_dim,
+            expert_output_dims=[e.output_dim for e in cfg.experts],
+            processed_dim=cfg.gating.processed_dim,
+            hidden_dim=cfg.gating.hidden_dim,
+            temperature=cfg.gating.temperature,
+            use_softmax=cfg.gating.use_softmax,
+            top_k=cfg.gating.top_k,
+            noise_type=cfg.gating.noise_type,
+            noise_scale=cfg.gating.noise_scale,
+            apply_topk_at_eval=cfg.gating.apply_topk_at_eval,
+            dtype=self.dtype,
+            name="gating_network",
+        )
+        gating_output = gating(
+            expert_features, context_features, train=train, deterministic=deterministic
+        )
+
+        # --- policy head (image consumed a second time, automoe.py:218) ---
+        policy = TrajectoryPolicy(
+            horizon=cfg.policy.num_waypoints,
+            context_dim=cfg.gating.processed_dim,
+            backbone_dim=cfg.policy.backbone_dim,
+            dtype=self.dtype,
+            name="policy_head",
+        )
+        policy_output = policy(
+            image, context=gating_output["combined_output"], train=train
+        )
+        speed_seq = policy_output["speed"]  # [B, horizon]
+
+        return {
+            "waypoints": policy_output["waypoints"],  # [B, horizon, 2]
+            "speed": speed_seq[:, -1:],  # [B, 1] last-step speed
+            "speed_seq": speed_seq,
+            "expert_weights": gating_output["expert_weights"],  # [B, E]
+            "expert_outputs": expert_outputs,
+            "context_features": context_features,  # [B, context_dim]
+            "combined_features": gating_output["combined_output"],  # [B, processed]
+            "gate_logits": gating_output["gate_logits"],  # [B, E]
+        }
+
+
+def create_automoe_model(config, dtype=jnp.float32) -> AutoMoE:
+    """Build AutoMoE from a config dict / JSON path / AutoMoEConfig
+    (parity with reference create_automoe_model, automoe.py:282-299)."""
+    return AutoMoE(config=load_model_config(config), dtype=dtype)
+
+
+def expert_param_mask(params: Dict, frozen: bool = True) -> Dict:
+    """Pytree mask marking expert subtrees (expert_*). True = trainable.
+
+    Used by the gating trainer to freeze experts functionally — the TPU
+    equivalent of requires_grad=False (reference automoe.py:269-273).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {
+        k: (not k[0].startswith("expert_")) if frozen else True for k in flat
+    }
+    return flax.traverse_util.unflatten_dict(mask)

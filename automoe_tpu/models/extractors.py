@@ -1,0 +1,126 @@
+"""Expert-output → uniform [B, output_dim] feature extractors for gating.
+
+Parity with reference models/experts/expert_extractors.py:20-156: dense
+maps are globally average-pooled then pushed through Linear(→512)-ReLU-
+Dropout(0.1)-Linear(→out)-LayerNorm; nuScenes query outputs are flattened
+to [B, Q*(C+bbox_dim)] first.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class _MLPHead(nn.Module):
+    in_desc: str
+    output_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        x = nn.Dense(512, dtype=self.dtype, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=deterministic)(x)
+        x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+
+
+class DetectionExpertExtractor(nn.Module):
+    """GAP(concat(class_logits, bbox_deltas)) → MLP → [B, output_dim]."""
+
+    output_dim: int = 256
+    num_classes: int = 10
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, expert_output: Dict[str, jnp.ndarray], *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        combined = jnp.concatenate(
+            [expert_output["class_logits"], expert_output["bbox_deltas"]], axis=-1
+        )  # [B,H,W,C+4]
+        pooled = jnp.mean(combined, axis=(1, 2))  # [B,C+4]
+        return _MLPHead(
+            "det", self.output_dim, self.dtype, name="head"
+        )(pooled, deterministic=deterministic)
+
+
+class SegmentationExpertExtractor(nn.Module):
+    output_dim: int = 256
+    num_classes: int = 19
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
+        pooled = jnp.mean(expert_output, axis=(1, 2))  # [B,num_classes]
+        return _MLPHead(
+            "seg", self.output_dim, self.dtype, name="head"
+        )(pooled, deterministic=deterministic)
+
+
+class DrivableExpertExtractor(nn.Module):
+    output_dim: int = 256
+    num_classes: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
+        pooled = jnp.mean(expert_output, axis=(1, 2))
+        return _MLPHead(
+            "drv", self.output_dim, self.dtype, name="head"
+        )(pooled, deterministic=deterministic)
+
+
+class NuScenesExpertExtractor(nn.Module):
+    output_dim: int = 256
+    num_queries: int = 100
+    num_classes: int = 10
+    bbox_dim: int = 7
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, expert_output: Dict[str, jnp.ndarray], *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        combined = jnp.concatenate(
+            [expert_output["class_logits"], expert_output["bbox_preds"]], axis=-1
+        )  # [B,Q,C+bbox]
+        flattened = combined.reshape(combined.shape[0], -1)
+        return _MLPHead(
+            "nusc", self.output_dim, self.dtype, name="head"
+        )(flattened, deterministic=deterministic)
+
+
+ExtractorOutput = Union[jnp.ndarray, Dict[str, jnp.ndarray]]
+
+
+def make_extractor(expert_config, dtype=jnp.float32, name=None) -> nn.Module:
+    """Factory mirroring reference create_expert_extractors
+    (models/experts/expert_extractors.py:159-201)."""
+    t = expert_config.type
+    if t == "detection":
+        return DetectionExpertExtractor(
+            expert_config.output_dim, expert_config.num_classes, dtype, name=name
+        )
+    if t == "segmentation":
+        return SegmentationExpertExtractor(
+            expert_config.output_dim, expert_config.num_classes, dtype, name=name
+        )
+    if t == "drivable":
+        return DrivableExpertExtractor(
+            expert_config.output_dim, expert_config.num_classes, dtype, name=name
+        )
+    if t == "nuscenes":
+        return NuScenesExpertExtractor(
+            expert_config.output_dim,
+            expert_config.num_queries,
+            expert_config.num_classes,
+            expert_config.bbox_dim,
+            dtype,
+            name=name,
+        )
+    raise ValueError(f"Unknown expert type: {t}")

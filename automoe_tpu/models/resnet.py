@@ -1,0 +1,111 @@
+"""ResNet-18 backbone in NHWC for TPU.
+
+Structurally equivalent to torchvision's resnet18 as consumed by the
+reference experts (reference models/experts/bdd_detection_expert.py:9-10
+takes `children()[:-2]` → [B,512,H/32,W/32]; models/experts/
+nuscenes_expert.py:108-109 takes `children()[:-1]` which keeps the global
+average pool → [B,512]). Implemented channel-last with explicit torch-style
+padding so imported torchvision weights reproduce activations exactly.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name=name,
+        )
+        residual = x
+        y = nn.Conv(
+            self.filters,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        y = nn.relu(norm("bn1")(y))
+        y = nn.Conv(
+            self.filters,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = norm("bn2")(y)
+        if residual.shape[-1] != self.filters or self.stride != 1:
+            residual = nn.Conv(
+                self.filters,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            residual = norm("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet18Backbone(nn.Module):
+    """conv1..layer4 of ResNet-18. Input [B,H,W,3].
+
+    include_pool=False → [B, H/32, W/32, 512] (torchvision children()[:-2]);
+    include_pool=True  → [B, 512]            (children()[:-1], GAP flattened).
+    """
+
+    include_pool: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, (filters, stride) in enumerate(
+            [(64, 1), (128, 2), (256, 2), (512, 2)], start=1
+        ):
+            x = BasicBlock(filters, stride, self.dtype, name=f"layer{stage}_0")(
+                x, train=train
+            )
+            x = BasicBlock(filters, 1, self.dtype, name=f"layer{stage}_1")(
+                x, train=train
+            )
+
+        if self.include_pool:
+            x = jnp.mean(x, axis=(1, 2))  # global average pool → [B, 512]
+        return x
