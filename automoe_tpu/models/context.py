@@ -38,7 +38,7 @@ class SimpleContextExtractor(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=deterministic)(x)
         x = nn.Dense(self.context_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
 
 
 class FullContextExtractor(nn.Module):
@@ -120,7 +120,7 @@ class FullContextExtractor(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=deterministic)(x)
         x = nn.Dense(self.context_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
 
 
 def make_context_extractor(context_config, dtype=jnp.float32, name=None) -> nn.Module:

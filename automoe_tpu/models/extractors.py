@@ -26,7 +26,7 @@ class _MLPHead(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=deterministic)(x)
         x = nn.Dense(self.output_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
 
 
 class DetectionExpertExtractor(nn.Module):

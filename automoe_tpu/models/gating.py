@@ -48,7 +48,7 @@ class ExpertOutputProcessor(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(0.1, deterministic=deterministic)(x)
         x = nn.Dense(self.processed_dim, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="ln")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
 
 
 def _topk_mask(logits: jnp.ndarray, k: int) -> jnp.ndarray:
