@@ -124,15 +124,26 @@ def install_torchvision_stub() -> None:
         torch.manual_seed(0)
         return TorchResNet18()
 
+    io_mod = types.ModuleType("torchvision.io")
+
+    def read_image(path, mode=None):
+        raise RuntimeError("image IO unavailable in the torchvision stub")
+
+    io_mod.read_image = read_image
+    io_mod.ImageReadMode = types.SimpleNamespace(RGB="RGB", GRAY="GRAY")
+
     models.resnet18 = resnet18
     ops.box_convert = _box_convert
     ops.box_iou = _box_iou
     ops.generalized_box_iou = _generalized_box_iou
     tv.models = models
     tv.ops = ops
+    tv.io = io_mod
+    tv.__path__ = []  # mark as package so `import torchvision.x` resolves
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.io"] = io_mod
 
 
 def add_reference_to_path() -> None:
