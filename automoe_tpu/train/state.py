@@ -1,0 +1,93 @@
+"""Train state + optimizer factory.
+
+Optimizer regime matches every reference trainer (SURVEY.md §2.1 T2-T7):
+AdamW(lr, weight_decay), cosine annealing stepped **per optimizer step**
+over epochs*steps_per_epoch (train_bdd100k_ddp.py:39-47,100), global-norm
+gradient clip 1.0 (ubiquitous, e.g. :98). Expert freezing is an optax
+mask (the functional requires_grad=False, automoe.py:269-273).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+    @classmethod
+    def create(cls, *, params, tx, batch_stats=None):
+        import jax.numpy as jnp
+
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats if batch_stats is not None else {},
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+
+def make_optimizer(
+    *,
+    learning_rate: float,
+    weight_decay: float = 1e-4,
+    total_steps: int,
+    grad_clip: float = 1.0,
+    eta_min: float = 0.0,
+    trainable_mask: Optional[Mapping] = None,
+    schedule: str = "cosine",
+) -> optax.GradientTransformation:
+    if schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            init_value=learning_rate,
+            decay_steps=max(total_steps, 1),
+            alpha=eta_min / learning_rate if learning_rate else 0.0,
+        )
+    elif schedule == "constant":
+        lr = learning_rate
+    else:
+        raise ValueError(f"unknown schedule {schedule}")
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, weight_decay=weight_decay),
+    )
+    if trainable_mask is not None:
+        # Frozen subtrees get zero updates (optax.masked would pass raw
+        # gradients through untransformed — wrong for freezing).
+        labels = jax.tree.map(
+            lambda trainable: "train" if trainable else "freeze", trainable_mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, param_labels=labels
+        )
+    return tx
+
+
+def lr_at(state_or_step, learning_rate: float, total_steps: int, eta_min: float = 0.0):
+    """Cosine LR value at a step (for logging parity with train/lr scalars)."""
+    import math
+
+    step = int(getattr(state_or_step, "step", state_or_step))
+    t = min(step, total_steps) / max(total_steps, 1)
+    return eta_min + (learning_rate - eta_min) * 0.5 * (1 + math.cos(math.pi * t))

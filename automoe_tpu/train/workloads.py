@@ -1,0 +1,289 @@
+"""Workload definitions: model + loss closure per training pipeline.
+
+One uniform shape replaces the reference's five trainer scripts
+(train_bdd100k_ddp.py, train_nuscenes_expert_ddp.py,
+train_carla_bdd_experts_ddp.py, train_carla_policy.py,
+train_gating_network.py — SURVEY.md §2.1 T2-T7). Each workload exposes
+(model, loss_fn, example_batch); the generic step/loop handles the rest.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from automoe_tpu.configs import AutoMoEConfig, ExpertConfig, load_model_config
+from automoe_tpu.losses import (
+    detection_set_loss,
+    gating_losses,
+    nuscenes_set_loss,
+    policy_losses,
+    segmentation_loss,
+)
+from automoe_tpu.models import (
+    BDDDetectionExpert,
+    BDDDrivableExpert,
+    BDDSegmentationExpert,
+    NuScenesExpert,
+    TrajectoryPolicy,
+    create_automoe_model,
+)
+from automoe_tpu.models.automoe import expert_param_mask
+
+
+@dataclasses.dataclass
+class Workload:
+    name: str
+    model: Any
+    loss_fn: Callable  # (params, batch_stats, batch, rng, train) -> (loss, (metrics, stats))
+    example_batch: Dict[str, jnp.ndarray]
+    trainable_mask_fn: Optional[Callable] = None  # params -> mask pytree
+    # builds the model.__call__ positional args from a batch dict:
+    init_args: Callable = lambda b: (b["image"],)
+
+    def init_variables(self, rng, batch=None):
+        batch = batch if batch is not None else self.example_batch
+        args = self.init_args(batch)
+        return jax.jit(lambda k: self.model.init(k, *args))(rng)
+
+
+def _apply(model, params, batch_stats, args, rng, train, needs_rngs=("dropout",)):
+    """Run a flax module handling BN mutability + dropout RNG threading."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    kwargs: Dict[str, Any] = {}
+    if train:
+        rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(needs_rngs)}
+        out, updates = model.apply(
+            variables,
+            *args,
+            train=True,
+            mutable=["batch_stats"],
+            rngs=rngs,
+            **_det_kw(model),
+        )
+        return out, updates.get("batch_stats", batch_stats)
+    out = model.apply(variables, *args, train=False)
+    return out, batch_stats
+
+
+def _det_kw(model) -> Dict[str, Any]:
+    # modules with dropout take `deterministic`; train=True → active dropout
+    import inspect
+
+    sig = inspect.signature(model.__call__)
+    return {"deterministic": False} if "deterministic" in sig.parameters else {}
+
+
+# ---------------------------------------------------------------------------
+# BDD experts (detection / segmentation / drivable)
+# ---------------------------------------------------------------------------
+
+def bdd_expert_workload(
+    task: str,
+    *,
+    num_classes: Optional[int] = None,
+    image_size: int = 256,
+    box_cap: int = 48,
+    bbox_loss_weight: float = 2.0,
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+) -> Workload:
+    """BDD100K expert training (reference train_bdd100k_ddp.py) and its
+    CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
+    workload over a different data source."""
+    defaults = {"detection": 10, "segmentation": 19, "drivable": 3}
+    C = num_classes if num_classes is not None else defaults[task]
+
+    if task == "detection":
+        model = BDDDetectionExpert(num_classes=C)
+
+        def loss_fn(params, batch_stats, batch, rng, train):
+            out, new_stats = _apply(
+                model, params, batch_stats, (batch["image"],), rng, train
+            )
+            res = detection_set_loss(
+                out["class_logits"],
+                out["bbox_deltas"],
+                batch["bboxes"],
+                batch["labels"],
+                num_classes=C,
+                bbox_loss_weight=bbox_loss_weight,
+                cost_class=cost_class,
+                cost_bbox=cost_bbox,
+                cost_giou=cost_giou,
+            )
+            metrics = {"class_loss": res["class_loss"], "bbox_loss": res["bbox_loss"]}
+            return res["loss"], (metrics, new_stats)
+
+        example = {
+            "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+            "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
+            "labels": jnp.full((2, box_cap), -1, jnp.int32),
+        }
+    else:
+        model = (
+            BDDSegmentationExpert(num_classes=C)
+            if task == "segmentation"
+            else BDDDrivableExpert(num_classes=C)
+        )
+
+        def loss_fn(params, batch_stats, batch, rng, train):
+            logits, new_stats = _apply(
+                model, params, batch_stats, (batch["image"],), rng, train
+            )
+            res = segmentation_loss(logits, batch["mask"])
+            return res["loss"], ({}, new_stats)
+
+        example = {
+            "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+            "mask": jnp.zeros((2, image_size, image_size), jnp.int32),
+        }
+
+    return Workload(name=f"bdd_{task}", model=model, loss_fn=loss_fn, example_batch=example)
+
+
+# ---------------------------------------------------------------------------
+# nuScenes expert
+# ---------------------------------------------------------------------------
+
+def nuscenes_workload(
+    *,
+    num_queries: int = 100,
+    bbox_dim: int = 7,
+    use_lidar: bool = True,
+    use_tnet: bool = False,
+    fusion: str = "concat",
+    image_size: int = 256,
+    lidar_cap: int = 2048,
+    box_cap: int = 64,
+    bbox_loss_weight: float = 5.0,
+) -> Workload:
+    model = NuScenesExpert(
+        num_queries=num_queries,
+        fusion=fusion,
+        use_lidar=use_lidar,
+        use_tnet=use_tnet,
+        bbox_dim=bbox_dim,
+    )
+
+    def loss_fn(params, batch_stats, batch, rng, train):
+        out, new_stats = _apply(
+            model,
+            params,
+            batch_stats,
+            ({"image": batch["image"], "lidar": batch.get("lidar")},),
+            rng,
+            train,
+        )
+        res = nuscenes_set_loss(
+            out["class_logits"],
+            out["bbox_preds"],
+            batch["boxes"],
+            batch["labels"],
+            bbox_loss_weight=bbox_loss_weight,
+        )
+        metrics = {"class_loss": res["class_loss"], "bbox_loss": res["bbox_loss"]}
+        return res["loss"], (metrics, new_stats)
+
+    example = {
+        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+        "lidar": jnp.zeros((2, lidar_cap, 3), jnp.float32),
+        "boxes": jnp.zeros((2, box_cap, bbox_dim), jnp.float32),
+        "labels": jnp.full((2, box_cap), -1, jnp.int32),
+    }
+    return Workload(
+        "nuscenes", model, loss_fn, example,
+        init_args=lambda b: ({"image": b["image"], "lidar": b["lidar"]},),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CARLA trajectory policy
+# ---------------------------------------------------------------------------
+
+def policy_workload(
+    *,
+    horizon: int = 8,
+    context_dim: int = 0,
+    backbone_dim: int = 512,
+    image_size: int = 256,
+) -> Workload:
+    """Standalone TrajectoryPolicy training (train_carla_policy.py)."""
+    model = TrajectoryPolicy(
+        horizon=horizon, context_dim=context_dim, backbone_dim=backbone_dim
+    )
+
+    def loss_fn(params, batch_stats, batch, rng, train):
+        ctx = batch.get("context") if context_dim > 0 else None
+        out, new_stats = _apply(
+            model, params, batch_stats, (batch["image"], ctx), rng, train
+        )
+        res = policy_losses(out, batch["waypoints"], batch["speed"])
+        metrics = {k: v for k, v in res.items() if k != "loss"}
+        return res["loss"], (metrics, new_stats)
+
+    example = {
+        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+        "waypoints": jnp.zeros((2, horizon, 2), jnp.float32),
+        "speed": jnp.zeros((2, horizon), jnp.float32),
+    }
+    if context_dim > 0:
+        example["context"] = jnp.zeros((2, context_dim), jnp.float32)
+    return Workload(
+        "carla_policy", model, loss_fn, example,
+        init_args=lambda b: (b["image"], b.get("context")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gating network (full AutoMoE, frozen experts)
+# ---------------------------------------------------------------------------
+
+def gating_workload(
+    model_config: Any,
+    *,
+    loss_config: Optional[Dict] = None,
+    image_size: int = 256,
+    freeze_experts: bool = True,
+) -> Workload:
+    """Gating training over the full AutoMoE (train_gating_network.py):
+    experts frozen (stop-gradient via optimizer mask), gating + extractors +
+    context + policy train."""
+    cfg: AutoMoEConfig = load_model_config(model_config)
+    model = create_automoe_model(cfg)
+    horizon = cfg.policy.num_waypoints
+    lcfg = dict(loss_config or {})
+
+    def loss_fn(params, batch_stats, batch, rng, train):
+        out, new_stats = _apply(
+            model,
+            params,
+            batch_stats,
+            (batch,),
+            rng,
+            train,
+            needs_rngs=("dropout", "gating"),
+        )
+        res = gating_losses(out, batch["waypoints"], batch["speed"], lcfg)
+        metrics = {k: v for k, v in res.items() if k != "total_loss"}
+        return res["total_loss"], (metrics, new_stats)
+
+    example = {
+        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+        "lidar": jnp.zeros((2, 1000, 3), jnp.float32),
+        "speed": jnp.zeros((2, horizon), jnp.float32),
+        "steering": jnp.zeros((2, horizon), jnp.float32),
+        "throttle": jnp.zeros((2, horizon), jnp.float32),
+        "brake": jnp.zeros((2, horizon), jnp.float32),
+        "waypoints": jnp.zeros((2, horizon, 2), jnp.float32),
+    }
+    mask_fn = (lambda params: expert_param_mask(params, frozen=True)) if freeze_experts else None
+    return Workload(
+        "gating", model, loss_fn, example,
+        trainable_mask_fn=mask_fn, init_args=lambda b: (b,),
+    )

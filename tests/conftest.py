@@ -6,9 +6,6 @@ fake-mesh strategy it lacked).
 """
 import os
 
-# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU platform,
-# so an explicit override (not setdefault) is required for the virtual mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Force CPU: the ambient TPU platform plugin ignores the JAX_PLATFORMS env
+# var, so the config knob (pre-backend-init) is the only reliable override.
+jax.config.update("jax_platforms", "cpu")
 
 # Parity tests compare against torch fp32; XLA's default matmul precision
 # downcasts fp32 matmul inputs (~1e-1 abs error) — use true fp32 in tests.
