@@ -174,7 +174,12 @@ def test_dp_mesh_matches_single_device(rng):
     assert mesh.shape["data"] == 8
 
     variables = wl.init_variables(jax.random.key(0))
-    tx = make_optimizer(learning_rate=1e-3, weight_decay=0.0, total_steps=10)
+    # SGD: post-step params differ exactly by lr*grad, so this compares the
+    # all-reduced gradient itself. (Adam amplifies fp32 reduction noise on
+    # near-zero gradients into sign flips — not what we're testing.)
+    import optax
+
+    tx = optax.sgd(0.1)
 
     def fresh_state():
         # deep-copy: the train step donates its input state
