@@ -1,0 +1,138 @@
+"""Host-side data loader: sharded sampling + threaded decode + device
+prefetch.
+
+Replaces torch's worker-process DataLoader + DistributedSampler
+(reference dataloaders/*, training/train_bdd100k_ddp.py:501-523):
+  * ShardedSampler — deterministic per-epoch shuffle, sliced per host
+    process (`set_epoch` parity included);
+  * DataLoader — a thread pool decodes samples ahead of consumption and a
+    background thread keeps `prefetch` collated batches ready, so the TPU
+    never waits on host decode;
+  * optional `device_put_fn` moves batches onto the mesh asynchronously
+    (double buffering over the PCIe/tunnel link).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from automoe_tpu.data.collate import stack_batch
+
+
+class ShardedSampler:
+    """Deterministic shuffled index stream, sharded across hosts."""
+
+    def __init__(
+        self,
+        num_samples: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        drop_last: bool = True,
+        batch_size: int = 1,
+    ):
+        self.num_samples = num_samples
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.drop_last = drop_last
+        self.batch_size = batch_size
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[List[int]]:
+        idx = np.arange(self.num_samples)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_index :: self.num_shards]
+        n_full = len(idx) // self.batch_size
+        for b in range(n_full):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size].tolist()
+        rem = idx[n_full * self.batch_size :]
+        if len(rem) and not self.drop_last:
+            # repeat-pad the final batch to keep shapes static
+            pad = np.resize(rem, self.batch_size)
+            yield pad.tolist()
+
+    def __len__(self) -> int:
+        n = (self.num_samples + self.num_shards - 1) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+
+class DataLoader:
+    """Iterable over collated numpy (or device) batches."""
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int = 32,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        collate_fn: Optional[Callable] = None,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        device_put_fn: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn or stack_batch
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.device_put_fn = device_put_fn
+        self.sampler = ShardedSampler(
+            len(dataset),
+            shuffle=shuffle,
+            seed=seed,
+            num_shards=num_shards,
+            shard_index=shard_index,
+            drop_last=drop_last,
+            batch_size=batch_size,
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self):
+        batches = iter(self.sampler)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                try:
+                    for batch_idx in batches:
+                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        batch = self.collate_fn(samples)
+                        if self.device_put_fn is not None:
+                            batch = self.device_put_fn(batch)
+                        q.put(batch)
+                finally:
+                    q.put(SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()

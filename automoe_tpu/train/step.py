@@ -21,7 +21,11 @@ from automoe_tpu.parallel.mesh import batch_sharding, replicate
 LossFn = Callable[..., Tuple[jax.Array, Tuple[Dict[str, jax.Array], Any]]]
 
 
-def make_train_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
+def make_train_step(
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+):
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
@@ -41,10 +45,11 @@ def make_train_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
 
     repl = replicate(mesh)
     data = batch_sharding(mesh)
+    state_sh = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,),
     )
 

@@ -127,7 +127,16 @@ def install_torchvision_stub() -> None:
     io_mod = types.ModuleType("torchvision.io")
 
     def read_image(path, mode=None):
-        raise RuntimeError("image IO unavailable in the torchvision stub")
+        # torchvision semantics: uint8 CHW tensor
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(path) as im:
+            if mode == "GRAY":
+                arr = np.asarray(im.convert("L"))[None, :, :]
+            else:
+                arr = np.transpose(np.asarray(im.convert("RGB")), (2, 0, 1))
+        return torch.from_numpy(arr.copy())
 
     io_mod.read_image = read_image
     io_mod.ImageReadMode = types.SimpleNamespace(RGB="RGB", GRAY="GRAY")
@@ -150,3 +159,20 @@ def add_reference_to_path() -> None:
     ref = "/root/reference"
     if ref not in sys.path:
         sys.path.insert(0, ref)
+
+
+class FakeQuat:
+    """Picklable quaternion stand-in with yaw_pitch_roll."""
+
+    def __init__(self, yaw):
+        self.yaw_pitch_roll = (yaw, 0.0, 0.0)
+
+
+class FakeBox:
+    """Picklable nuScenes-devkit Box stand-in (center/wlh/orientation/name)."""
+
+    def __init__(self, center, wlh, yaw, name):
+        self.center = center
+        self.wlh = wlh
+        self.name = name
+        self.orientation = FakeQuat(yaw)
