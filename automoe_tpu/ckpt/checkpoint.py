@@ -1,0 +1,125 @@
+"""Checkpoint save/restore (Orbax).
+
+Replicates the reference's per-trainer checkpoint policy (SURVEY.md §5):
+payload {step/epoch, params, batch_stats, opt_state, best_val_loss,
+config}; `best` + `last` always, periodic `epoch_N` every save_freq
+(train_gating_network.py:160-175,323-336); resume modes 'model' (weights
+only) vs 'full' (weights + optimizer + schedule position)
+(train_bdd100k_ddp.py:536-545). Layout: <root>/<component>/<run_name>/
+{best,last,epoch_N}. Writes happen on process 0 only (the rank-0 guard).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree.map(np.asarray, tree)
+
+
+class CheckpointManager:
+    def __init__(self, root: str, component: str, run_name: str, save_freq: int = 0):
+        self.dir = Path(root) / component / run_name
+        self.save_freq = save_freq
+        self.best_val = float("inf")
+        self._ckptr = ocp.StandardCheckpointer()
+        if jax.process_index() == 0:
+            self.dir.mkdir(parents=True, exist_ok=True)
+
+    # -- save ---------------------------------------------------------------
+
+    def _payload(self, state, epoch: int, config: Optional[Dict]) -> Dict[str, Any]:
+        return {
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "best_val_loss": np.asarray(self.best_val, np.float64),
+        }
+
+    def _write(self, name: str, payload: Dict[str, Any], config: Optional[Dict]):
+        path = (self.dir / name).resolve()
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._ckptr.save(path, payload)
+        self._ckptr.wait_until_finished()
+        if config is not None:
+            (self.dir / "config.json").write_text(json.dumps(config, indent=2))
+
+    def save_epoch(
+        self,
+        state,
+        epoch: int,
+        val_loss: float,
+        config: Optional[Dict] = None,
+    ) -> bool:
+        """Save 'last' (+periodic), and 'best' when val improves.
+        Returns is_best. No-op on non-zero processes."""
+        is_best = val_loss < self.best_val
+        if is_best:
+            self.best_val = float(val_loss)
+        if jax.process_index() != 0:
+            return is_best
+        payload = self._payload(state, epoch, config)
+        self._write("last", payload, config)
+        if is_best:
+            self._write("best", payload, None)
+        if self.save_freq and (epoch + 1) % self.save_freq == 0:
+            self._write(f"epoch_{epoch + 1}", payload, None)
+        return is_best
+
+    # -- restore ------------------------------------------------------------
+
+    def restore(
+        self, state, which: str = "best", mode: str = "full"
+    ):
+        """mode='model': params+batch_stats only; 'full': + optimizer/step.
+        Returns (state, epoch)."""
+        path = (self.dir / which).resolve()
+        template = {
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(0),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+            "best_val_loss": np.asarray(0.0, np.float64),
+        }
+        payload = self._ckptr.restore(path, template)
+        self.best_val = float(payload["best_val_loss"])
+        epoch = int(payload["epoch"])
+        if mode == "model":
+            state = state.replace(
+                params=payload["params"], batch_stats=payload["batch_stats"]
+            )
+        else:
+            state = state.replace(
+                step=payload["step"],
+                params=payload["params"],
+                batch_stats=payload["batch_stats"],
+                opt_state=payload["opt_state"],
+            )
+        return state, epoch
+
+
+def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore only {params, batch_stats} from a checkpoint dir (for eval /
+    expert-loading into AutoMoE)."""
+    ckptr = ocp.StandardCheckpointer()
+    host_t = {
+        "params": _to_host(template["params"]),
+        "batch_stats": _to_host(template.get("batch_stats", {})),
+    }
+    full_t = dict(host_t)
+    restored = ckptr.restore(
+        Path(path).resolve(), full_t, partial_restore=True
+    )
+    return restored

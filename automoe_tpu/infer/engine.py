@@ -1,0 +1,109 @@
+"""Latency-path inference engine: one pre-compiled fixed-shape XLA step.
+
+The reference's per-tick path (inference/run_automoe.py:34-53) does
+PIL resize + normalize on the host CPU, then an autocast GPU forward.
+Here the camera frame goes to the device as raw uint8 and the entire
+resize→normalize→AutoMoE pipeline is one jitted program (bf16 by
+default); the resize runs as MXU matmuls with the interpolation weights
+passed as runtime arguments (see automoe_tpu/ops/resize.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automoe_tpu.configs import load_model_config
+from automoe_tpu.models import create_automoe_model
+from automoe_tpu.ops.resize import resize_bilinear, resize_weights
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        model_config,
+        variables: Optional[Dict] = None,
+        *,
+        camera_hw: Tuple[int, int] = (600, 800),
+        model_hw: Tuple[int, int] = (256, 256),
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.config = load_model_config(model_config)
+        self.model = create_automoe_model(self.config, dtype=dtype)
+        self.dtype = dtype
+        self.camera_hw = camera_hw
+        self.model_hw = model_hw
+
+        mean = jnp.asarray(IMAGENET_MEAN, dtype)
+        std = jnp.asarray(IMAGENET_STD, dtype)
+        self._mats = tuple(
+            jax.device_put(m)
+            for m in resize_weights(*camera_hw, *model_hw, antialias=True)
+        )
+
+        def step(variables, mats, frame_u8, speed_kmh):
+            x = frame_u8.astype(dtype) / 255.0
+            x = resize_bilinear(x, *model_hw, antialias=True, mats=mats)
+            image = (x - mean) / std
+            B = image.shape[0]
+            zeros = jnp.zeros((B, 1), dtype)
+            batch = {
+                "image": image,
+                "speed": speed_kmh.astype(dtype),
+                # controls unavailable at inference → zeros (run_automoe.py:43-50)
+                "steering": zeros,
+                "throttle": zeros,
+                "brake": zeros,
+            }
+            out = self.model.apply(variables, batch)
+            return {
+                "waypoints": out["waypoints"].astype(jnp.float32),
+                "speed": out["speed"].astype(jnp.float32),
+                "speed_seq": out["speed_seq"].astype(jnp.float32),
+                "expert_weights": out["expert_weights"].astype(jnp.float32),
+            }
+
+        self._step = jax.jit(step)
+
+        if variables is None:
+            from automoe_tpu.utils import jit_init
+
+            h, w = model_hw
+            init_batch = {
+                "image": jnp.zeros((1, h, w, 3), dtype),
+                "speed": jnp.zeros((1, 1), dtype),
+                "steering": jnp.zeros((1, 1), dtype),
+                "throttle": jnp.zeros((1, 1), dtype),
+                "brake": jnp.zeros((1, 1), dtype),
+            }
+            variables = jit_init(self.model, jax.random.key(seed), init_batch)
+        self.variables = variables
+
+    @classmethod
+    def from_torch_checkpoint(cls, model_config, ckpt_path: str, **kw):
+        """Load a reference AutoMoE checkpoint (DDP prefixes stripped,
+        run_automoe.py:144-157)."""
+        from automoe_tpu.ckpt import import_automoe, load_torch_state_dict
+
+        cfg = load_model_config(model_config)
+        sd = load_torch_state_dict(ckpt_path)
+        variables = import_automoe(sd, cfg)
+        return cls(cfg, variables=variables, **kw)
+
+    def warmup(self) -> None:
+        frame = np.zeros((1, *self.camera_hw, 3), np.uint8)
+        jax.block_until_ready(self.infer(frame, 0.0))
+
+    def infer(self, frame_u8: np.ndarray, last_speed_kmh: float) -> Dict[str, np.ndarray]:
+        """frame_u8 [H,W,3] or [1,H,W,3] uint8 → host numpy outputs."""
+        if frame_u8.ndim == 3:
+            frame_u8 = frame_u8[None]
+        speed = jnp.asarray([[last_speed_kmh]], jnp.float32)
+        out = self._step(self.variables, self._mats, jnp.asarray(frame_u8), speed)
+        return {k: np.asarray(v) for k, v in out.items()}

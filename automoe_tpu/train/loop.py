@@ -1,0 +1,148 @@
+"""Generic training loop: one engine for all five reference trainers.
+
+Epoch structure mirrors the reference (train → validate → checkpoint
+best/last, SURVEY.md §3.1/§3.2): per-epoch sampler reshuffle replaces
+DistributedSampler.set_epoch; validation aggregates host-side (the
+all_reduce SUM of [loss, count] at train_gating_network.py:153-156 is
+implicit — eval batches are global); process-0 checkpointing + metrics.
+Device work stays inside two jitted functions (train_step / eval_step).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from automoe_tpu.ckpt.checkpoint import CheckpointManager
+from automoe_tpu.parallel.mesh import shard_batch
+from automoe_tpu.train.state import TrainState, make_optimizer
+from automoe_tpu.train.step import make_eval_step, make_train_step
+from automoe_tpu.train.workloads import Workload
+from automoe_tpu.utils.metrics import MetricsLogger
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 1
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-4
+    grad_clip: float = 1.0
+    seed: int = 0
+    run_name: str = "run"
+    ckpt_root: str = "checkpoints"
+    runs_root: str = "runs"
+    save_freq: int = 0
+    resume: Optional[str] = None  # 'model' | 'full'
+    resume_from: str = "last"
+    log_every: int = 50
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+class Trainer:
+    def __init__(
+        self,
+        workload: Workload,
+        train_loader,
+        val_loader,
+        config: TrainConfig,
+        mesh=None,
+    ):
+        self.wl = workload
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.cfg = config
+        self.mesh = mesh
+
+        rng = jax.random.key(config.seed)
+        variables = workload.init_variables(rng)
+        total_steps = config.epochs * max(1, len(train_loader))
+        mask = (
+            workload.trainable_mask_fn(variables["params"])
+            if workload.trainable_mask_fn
+            else None
+        )
+        tx = make_optimizer(
+            learning_rate=config.learning_rate,
+            weight_decay=config.weight_decay,
+            total_steps=total_steps,
+            grad_clip=config.grad_clip,
+            trainable_mask=mask,
+        )
+        self.state = TrainState.create(
+            params=variables["params"],
+            tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        self.train_step = make_train_step(workload.loss_fn, mesh=mesh)
+        self.eval_step = make_eval_step(workload.loss_fn, mesh=mesh)
+        self.ckpt = CheckpointManager(
+            config.ckpt_root, workload.name, config.run_name,
+            save_freq=config.save_freq,
+        )
+        self.logger = MetricsLogger(f"{config.runs_root}/{workload.name}_{config.run_name}")
+        self.rng = jax.random.key(config.seed + 1)
+        self.start_epoch = 0
+        if config.resume:
+            self.state, epoch = self.ckpt.restore(
+                self.state, which=config.resume_from, mode=config.resume
+            )
+            self.start_epoch = epoch + 1 if config.resume == "full" else 0
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self, epoch: int) -> float:
+        self.train_loader.set_epoch(epoch)
+        total, n = 0.0, 0
+        t0 = time.time()
+        for i, batch in enumerate(self.train_loader):
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(batch), self.rng
+            )
+            loss = float(metrics["loss"])
+            total += loss
+            n += 1
+            step = int(self.state.step)
+            if step % self.cfg.log_every == 0:
+                self.logger.log(step, {k: float(v) for k, v in metrics.items()},
+                                prefix="train")
+        avg = total / max(1, n)
+        self.logger.log(
+            int(self.state.step),
+            {"loss_epoch": avg, "epoch_seconds": time.time() - t0,
+             "steps_per_sec": n / max(time.time() - t0, 1e-9)},
+            prefix="train",
+        )
+        return avg
+
+    def validate(self, epoch: int) -> float:
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            metrics = self.eval_step(self.state, self._device_batch(batch), self.rng)
+            total += float(metrics["loss"])
+            n += 1
+        avg = total / max(1, n)
+        self.logger.log(int(self.state.step), {"loss": avg}, prefix="val")
+        return avg
+
+    def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:
+        best = float("inf")
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            train_loss = self.train_epoch(epoch)
+            val_loss = self.validate(epoch)
+            is_best = self.ckpt.save_epoch(self.state, epoch, val_loss, config_dump)
+            best = min(best, val_loss)
+            if jax.process_index() == 0:
+                print(
+                    f"[{self.wl.name}] epoch {epoch + 1}/{self.cfg.epochs} "
+                    f"train {train_loss:.4f} val {val_loss:.4f}"
+                    + (" *best*" if is_best else "")
+                )
+        self.logger.close()
+        return {"best_val_loss": best}

@@ -141,6 +141,32 @@ def install_torchvision_stub() -> None:
     io_mod.read_image = read_image
     io_mod.ImageReadMode = types.SimpleNamespace(RGB="RGB", GRAY="GRAY")
 
+    # minimal transforms namespace (import-time only for the reference's
+    # inference module; tests never execute the PIL pipeline)
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class _Identity:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class _Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    for name in ("ToPILImage", "Resize", "ToTensor", "Normalize"):
+        setattr(transforms, name, _Identity)
+    transforms.Compose = _Compose
+    transforms.InterpolationMode = types.SimpleNamespace(BILINEAR="bilinear")
+    tv_transforms = transforms
+
     models.resnet18 = resnet18
     ops.box_convert = _box_convert
     ops.box_iou = _box_iou
@@ -148,11 +174,13 @@ def install_torchvision_stub() -> None:
     tv.models = models
     tv.ops = ops
     tv.io = io_mod
+    tv.transforms = tv_transforms
     tv.__path__ = []  # mark as package so `import torchvision.x` resolves
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.io"] = io_mod
+    sys.modules["torchvision.transforms"] = tv_transforms
 
 
 def add_reference_to_path() -> None:
