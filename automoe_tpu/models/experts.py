@@ -157,6 +157,46 @@ class PointNet(nn.Module):
         return nn.Dense(self.output_dim, dtype=self.dtype, name="fc3")(h)
 
 
+class NuScenesImage2DHead(nn.Module):
+    """Image-only 2D detection head over the nuScenes backbone — the
+    CARLA fine-tune wrapper (reference training/
+    train_carla_nuscenes_expert_2d_ddp.py:25-49 `ImageOnlyWrapper`):
+    ResNet18(+pool)→proj(256), 196 learned queries added to the broadcast
+    scene feature, MLP 256→256→128 with Dropout(0.1), 10-way class head +
+    4-dim box head. Module names align with the wrapper's state dict
+    (query_embed / mlp / class_head / box_head) for weight import."""
+
+    num_queries: int = 196
+    num_classes: int = 10
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, image: jnp.ndarray, *, train: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        feat = ResNet18Backbone(
+            include_pool=True, dtype=self.dtype, name="image_backbone"
+        )(image, train=train)
+        feat = nn.Dense(256, dtype=self.dtype, name="image_projection")(feat)
+        queries = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, 256)
+        ).astype(feat.dtype)
+        x = feat[:, None, :] + queries[None, :, :]
+        x = nn.Dense(256, dtype=self.dtype, name="mlp_fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=deterministic)(x)
+        x = nn.Dense(128, dtype=self.dtype, name="mlp_fc2")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.1, deterministic=deterministic)(x)
+        return {
+            "pred_logits": nn.Dense(
+                self.num_classes, dtype=self.dtype, name="class_head"
+            )(x),
+            "pred_boxes": nn.Dense(4, dtype=self.dtype, name="box_head")(x),
+        }
+
+
 class NuScenesExpert(nn.Module):
     """Camera(+LiDAR) DETR-lite: global scene feature broadcast over learned
     queries → MLP decoder → class/bbox heads."""

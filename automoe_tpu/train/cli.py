@@ -1,0 +1,285 @@
+"""Training CLI — one entry point for every reference training pipeline.
+
+Subcommands map to the reference trainers (SURVEY.md §2.1 T2-T7):
+  bdd              ← training/train_bdd100k_ddp.py (detection/seg/drivable)
+  nuscenes         ← training/train_nuscenes_expert_ddp.py
+  finetune-carla   ← training/train_carla_bdd_experts_ddp.py (same tasks,
+                     CARLA caches)
+  nuscenes-2d      ← training/train_carla_nuscenes_expert_2d_ddp.py
+  policy           ← training/train_carla_policy.py (--epochs 0 dry-run
+                     shape check kept, :178-188)
+  gating           ← training/train_gating_network.py (expert ckpt load +
+                     freeze)
+
+torchrun/NCCL launch plumbing is gone: data parallelism comes from the
+device mesh (all local devices by default; multi-host via
+`jax.distributed.initialize` + --multihost).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+import jax
+
+from automoe_tpu.parallel import MeshSpec, make_mesh
+from automoe_tpu.train.loop import TrainConfig, Trainer
+from automoe_tpu.train import workloads as W
+from automoe_tpu.utils import enable_compile_cache
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--data-root", required=False, default=None)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--run-name", default="run")
+    p.add_argument("--ckpt-root", default="checkpoints")
+    p.add_argument("--runs-root", default="runs")
+    p.add_argument("--save-freq", type=int, default=0)
+    p.add_argument("--resume", choices=["model", "full"], default=None)
+    p.add_argument("--resume-from", default="last")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--box-cap", type=int, default=48)
+    p.add_argument("--no-mesh", action="store_true",
+                   help="single-device (skip mesh sharding)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first")
+
+
+def _mesh(args):
+    if args.no_mesh:
+        return None
+    if args.multihost:
+        jax.distributed.initialize()
+    return make_mesh(MeshSpec(data=-1, model=1))
+
+
+def _args_dump(args) -> dict:
+    return {k: v for k, v in vars(args).items() if isinstance(
+        v, (str, int, float, bool, type(None), list))}
+
+
+def _train_cfg(args) -> TrainConfig:
+    return TrainConfig(
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        run_name=args.run_name,
+        ckpt_root=args.ckpt_root,
+        runs_root=args.runs_root,
+        save_freq=args.save_freq,
+        resume=args.resume,
+        resume_from=args.resume_from,
+    )
+
+
+def _loaders(factory, args, **kw):
+    mesh = kw.pop("mesh", None)
+    shards = mesh.shape["data"] if mesh is not None else 1
+    common = dict(
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        num_shards=1,  # single-host: mesh sharding happens on device_put
+    )
+    if args.data_root:
+        common["root_dir"] = args.data_root
+    train = factory(split="train", **common, **kw)
+    val = factory(split="val", shuffle=False, **common, **kw)
+    del shards
+    return train, val
+
+
+def cmd_bdd(args):
+    from automoe_tpu.data import (
+        get_bdd_detection_loader,
+        get_bdd_drivable_loader,
+        get_bdd_segmentation_loader,
+    )
+
+    factory = {
+        "detection": get_bdd_detection_loader,
+        "segmentation": get_bdd_segmentation_loader,
+        "drivable": get_bdd_drivable_loader,
+    }[args.task]
+    kw = {"box_cap": args.box_cap} if args.task == "detection" else {}
+    wl = W.bdd_expert_workload(
+        args.task, image_size=args.image_size, box_cap=args.box_cap,
+        bbox_loss_weight=args.bbox_loss_weight,
+    )
+    mesh = _mesh(args)
+    train, val = _loaders(factory, args, **kw)
+    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+
+
+def cmd_finetune_carla(args):
+    from automoe_tpu.data import (
+        get_carla_detection_loader,
+        get_carla_drivable_loader,
+        get_carla_segmentation_loader,
+    )
+
+    factory = {
+        "detection": get_carla_detection_loader,
+        "segmentation": get_carla_segmentation_loader,
+        "drivable": get_carla_drivable_loader,
+    }[args.task]
+    kw = {"box_cap": args.box_cap} if args.task == "detection" else {}
+    wl = W.bdd_expert_workload(
+        args.task, image_size=args.image_size, box_cap=args.box_cap,
+        bbox_loss_weight=args.bbox_loss_weight,
+    )
+    mesh = _mesh(args)
+    train, val = _loaders(factory, args, **kw)
+    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+
+
+def cmd_nuscenes(args):
+    from automoe_tpu.data import get_nuscenes_loader
+
+    wl = W.nuscenes_workload(
+        num_queries=args.num_queries,
+        bbox_dim=7,
+        use_lidar=args.use_lidar,
+        use_tnet=args.use_tnet,
+        fusion=args.fusion,
+        image_size=args.image_size,
+        lidar_cap=args.lidar_cap,
+        box_cap=args.box_cap,
+        bbox_loss_weight=args.bbox_loss_weight,
+    )
+    mesh = _mesh(args)
+    train, val = _loaders(
+        get_nuscenes_loader, args, lidar_cap=args.lidar_cap, box_cap=args.box_cap
+    )
+    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+
+
+def cmd_nuscenes_2d(args):
+    from automoe_tpu.data import get_carla_detection_loader
+
+    wl = W.carla_nuscenes_2d_workload(
+        num_queries=args.num_queries, image_size=args.image_size,
+        box_cap=args.box_cap, bbox_loss_weight=args.bbox_loss_weight,
+    )
+    mesh = _mesh(args)
+    train, val = _loaders(get_carla_detection_loader, args, box_cap=args.box_cap)
+    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+
+
+def cmd_policy(args):
+    from automoe_tpu.data import get_carla_sequence_loader
+
+    wl = W.policy_workload(
+        horizon=args.horizon, context_dim=args.context_dim,
+        image_size=args.image_size,
+    )
+    if args.epochs == 0:
+        # dry-run shape check (parity with train_carla_policy.py:178-188)
+        out = wl.model.apply(
+            wl.init_variables(jax.random.key(args.seed)),
+            wl.example_batch["image"],
+            wl.example_batch.get("context"),
+        )
+        print({k: tuple(v.shape) for k, v in out.items()})
+        return {"dry_run": True}
+    mesh = _mesh(args)
+    train, val = _loaders(get_carla_sequence_loader, args, horizon=args.horizon)
+    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+
+
+def cmd_gating(args):
+    from automoe_tpu.ckpt.compose import load_expert_checkpoints
+    from automoe_tpu.configs import default_model_config, load_model_config
+    from automoe_tpu.data import get_carla_sequence_loader
+
+    model_cfg = (
+        load_model_config(args.model_config)
+        if args.model_config
+        else default_model_config()
+    )
+    loss_cfg = json.loads(args.loss_config) if args.loss_config else {}
+    wl = W.gating_workload(
+        model_cfg, loss_config=loss_cfg, image_size=args.image_size,
+        freeze_experts=not args.unfreeze_experts,
+    )
+    mesh = _mesh(args)
+    train, val = _loaders(
+        get_carla_sequence_loader, args, horizon=model_cfg.policy.num_waypoints
+    )
+    trainer = Trainer(wl, train, val, _train_cfg(args), mesh=mesh)
+    if args.expert_ckpts:
+        paths = args.expert_ckpts.split(",")
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        variables = load_expert_checkpoints(variables, model_cfg, paths)
+        trainer.state = trainer.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+        )
+    return trainer.fit(_args_dump(args))
+
+
+def main(argv=None):
+    enable_compile_cache()
+    p = argparse.ArgumentParser("automoe-train")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("bdd")
+    pb.add_argument("--task", choices=["detection", "segmentation", "drivable"],
+                    required=True)
+    pb.add_argument("--bbox-loss-weight", type=float, default=2.0)
+    _add_common(pb)
+    pb.set_defaults(fn=cmd_bdd)
+
+    pf = sub.add_parser("finetune-carla")
+    pf.add_argument("--task", choices=["detection", "segmentation", "drivable"],
+                    required=True)
+    pf.add_argument("--bbox-loss-weight", type=float, default=2.0)
+    _add_common(pf)
+    pf.set_defaults(fn=cmd_finetune_carla)
+
+    pn = sub.add_parser("nuscenes")
+    pn.add_argument("--num-queries", type=int, default=100)
+    pn.add_argument("--use-lidar", action="store_true")
+    pn.add_argument("--use-tnet", action="store_true")
+    pn.add_argument("--fusion", choices=["concat", "sum"], default="concat")
+    pn.add_argument("--lidar-cap", type=int, default=8192)
+    pn.add_argument("--bbox-loss-weight", type=float, default=5.0)
+    _add_common(pn)
+    pn.set_defaults(fn=cmd_nuscenes)
+
+    p2 = sub.add_parser("nuscenes-2d")
+    p2.add_argument("--num-queries", type=int, default=196)
+    p2.add_argument("--bbox-loss-weight", type=float, default=1.0)
+    _add_common(p2)
+    p2.set_defaults(fn=cmd_nuscenes_2d)
+
+    pp = sub.add_parser("policy")
+    pp.add_argument("--horizon", type=int, default=8)
+    pp.add_argument("--context-dim", type=int, default=0)
+    _add_common(pp)
+    pp.set_defaults(fn=cmd_policy)
+
+    pg = sub.add_parser("gating")
+    pg.add_argument("--model-config", default=None)
+    pg.add_argument("--expert-ckpts", default=None,
+                    help="comma-separated, one per expert ('' to skip)")
+    pg.add_argument("--loss-config", default=None, help="JSON string")
+    pg.add_argument("--unfreeze-experts", action="store_true")
+    _add_common(pg)
+    pg.set_defaults(fn=cmd_gating)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,55 @@ def nuscenes_workload(
 
 
 # ---------------------------------------------------------------------------
+# nuScenes → CARLA image-only 2D fine-tune (reference
+# train_carla_nuscenes_expert_2d_ddp.py). Loss: matched-only CE + matched
+# SmoothL1 (mean), bbox weight default 1.0 (:99-114).
+# ---------------------------------------------------------------------------
+
+def carla_nuscenes_2d_workload(
+    *,
+    num_queries: int = 196,
+    num_classes: int = 10,
+    image_size: int = 256,
+    box_cap: int = 48,
+    bbox_loss_weight: float = 1.0,
+) -> Workload:
+    from automoe_tpu.models.experts import NuScenesImage2DHead
+    from automoe_tpu.losses.detection import scatter_matched_targets
+    from automoe_tpu.ops.boxes import box_convert
+    from automoe_tpu.ops.masked import masked_cross_entropy, masked_smooth_l1
+    from automoe_tpu.ops.matching import hungarian_match
+
+    model = NuScenesImage2DHead(num_queries=num_queries, num_classes=num_classes)
+
+    def loss_fn(params, batch_stats, batch, rng, train):
+        out, new_stats = _apply(
+            model, params, batch_stats, (batch["image"],), rng, train
+        )
+        logits, boxes = out["pred_logits"], out["pred_boxes"]
+        B, Q, C = logits.shape
+        tgt_cxcywh = box_convert(batch["bboxes"], "xyxy", "cxcywh")
+        qidx, valid = hungarian_match(logits, boxes, tgt_cxcywh, batch["labels"])
+        tc, tb = scatter_matched_targets(qidx, valid, tgt_cxcywh, batch["labels"], Q, C)
+        cls_loss = masked_cross_entropy(
+            logits.reshape(B * Q, C), tc.reshape(B * Q), ignore_index=C
+        )
+        matched = tc.reshape(B * Q) != C
+        box_loss = masked_smooth_l1(
+            boxes.reshape(B * Q, 4), tb.reshape(B * Q, 4), matched
+        )
+        total = cls_loss + bbox_loss_weight * box_loss
+        return total, ({"class_loss": cls_loss, "bbox_loss": box_loss}, new_stats)
+
+    example = {
+        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
+        "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
+        "labels": jnp.full((2, box_cap), -1, jnp.int32),
+    }
+    return Workload("carla_nuscenes_2d", model, loss_fn, example)
+
+
+# ---------------------------------------------------------------------------
 # CARLA trajectory policy
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,64 @@
+"""End-to-end CLI tests over synthetic reference-format caches."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_mirror import install_torchvision_stub
+
+install_torchvision_stub()
+
+from automoe_tpu.train.cli import main as train_main  # noqa: E402
+from tests.test_data import _make_carla_frame  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def carla_root(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("carla_cli")
+    for split in ("train", "val"):
+        for run in ("run_001",):
+            d = root / split / run
+            d.mkdir(parents=True)
+            for t in range(10):
+                torch.save(
+                    _make_carla_frame(rng, frame_id=t, run_id=run),
+                    d / f"{t:04d}.pt",
+                )
+    return root
+
+
+def test_policy_dry_run(capsys):
+    out = train_main([
+        "policy", "--epochs", "0", "--horizon", "4", "--image-size", "32",
+        "--no-mesh",
+    ])
+    assert out == {"dry_run": True}
+    printed = capsys.readouterr().out
+    assert "waypoints" in printed
+
+
+def test_finetune_carla_drivable_one_epoch(carla_root, tmp_path):
+    out = train_main([
+        "finetune-carla", "--task", "drivable",
+        "--data-root", str(carla_root),
+        "--epochs", "1", "--batch-size", "4", "--num-workers", "1",
+        "--image-size", "32", "--no-mesh",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "cli_test",
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "ckpt" / "bdd_drivable" / "cli_test" / "best").exists()
+
+
+def test_policy_one_epoch(carla_root, tmp_path):
+    out = train_main([
+        "policy", "--horizon", "4",
+        "--data-root", str(carla_root),
+        "--epochs", "1", "--batch-size", "2", "--num-workers", "1",
+        "--image-size", "32", "--no-mesh",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(out["best_val_loss"])
