@@ -1,0 +1,200 @@
+"""Evaluation CLI — counterparts of the reference eval scripts
+(eval/evaluate_bdd100k_expert.py, evaluate_nuscenes_expert.py,
+evaluate_gating_network.py, visualize_bdd100k_detection.py,
+analyze_bdd100k_detection_batch.py), writing timestamped JSON artifacts
+under <out>/results and plots under <out>/vis.
+"""
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automoe_tpu.utils import enable_compile_cache
+
+
+def _timestamped(out_dir: str, name: str) -> Path:
+    ts = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    p = Path(out_dir) / "results"
+    p.mkdir(parents=True, exist_ok=True)
+    return p / f"{name}_{ts}.json"
+
+
+def _load_state(wl, ckpt_path: str):
+    from automoe_tpu.ckpt.checkpoint import load_variables
+
+    variables = wl.init_variables(jax.random.key(0))
+    if ckpt_path:
+        variables = load_variables(ckpt_path, variables)
+    return variables
+
+
+def cmd_bdd(args):
+    from automoe_tpu.data import (
+        get_bdd_detection_loader,
+        get_bdd_drivable_loader,
+        get_bdd_segmentation_loader,
+        get_carla_detection_loader,
+        get_carla_drivable_loader,
+        get_carla_segmentation_loader,
+    )
+    from automoe_tpu.evals import evaluate_detection, evaluate_seg_like
+    from automoe_tpu.train.workloads import bdd_expert_workload
+
+    source = {
+        ("bdd", "detection"): get_bdd_detection_loader,
+        ("bdd", "segmentation"): get_bdd_segmentation_loader,
+        ("bdd", "drivable"): get_bdd_drivable_loader,
+        ("carla", "detection"): get_carla_detection_loader,
+        ("carla", "segmentation"): get_carla_segmentation_loader,
+        ("carla", "drivable"): get_carla_drivable_loader,
+    }[(args.source, args.task)]
+    kw = {"box_cap": args.box_cap} if args.task == "detection" else {}
+    if args.data_root:
+        kw["root_dir"] = args.data_root
+    loader = source(split=args.split, batch_size=args.batch_size,
+                    num_workers=args.num_workers, shuffle=False, **kw)
+    wl = bdd_expert_workload(args.task, image_size=args.image_size)
+    variables = _load_state(wl, args.checkpoint)
+    apply_fn = jax.jit(lambda v, img: wl.model.apply(v, img))
+
+    if args.task == "detection":
+        res = evaluate_detection(
+            apply_fn, variables,
+            ({k: v for k, v in b.items()} for b in loader),
+            num_classes=wl.model.num_classes,
+        )
+    else:
+        res = evaluate_seg_like(
+            apply_fn, variables, loader, num_classes=wl.model.num_classes
+        )
+    path = _timestamped(args.out_dir, f"{args.source}_{args.task}")
+    path.write_text(json.dumps(res, indent=2))
+    print(json.dumps(res))
+    return res
+
+
+def cmd_nuscenes(args):
+    from automoe_tpu.data import get_nuscenes_loader
+    from automoe_tpu.evals import evaluate_nuscenes
+    from automoe_tpu.train.workloads import nuscenes_workload
+
+    kw = {"root_dir": args.data_root} if args.data_root else {}
+    loader = get_nuscenes_loader(split=args.split, batch_size=args.batch_size,
+                                 num_workers=args.num_workers, shuffle=False, **kw)
+    wl = nuscenes_workload(image_size=args.image_size)
+    variables = _load_state(wl, args.checkpoint)
+    apply_fn = jax.jit(lambda v, batch: wl.model.apply(v, batch))
+    res = evaluate_nuscenes(apply_fn, variables, loader)
+    path = _timestamped(args.out_dir, "nuscenes_expert")
+    path.write_text(json.dumps(res, indent=2))
+    print(json.dumps(res))
+    return res
+
+
+def cmd_gating(args):
+    from automoe_tpu.configs import default_model_config, load_model_config
+    from automoe_tpu.data import get_carla_sequence_loader
+    from automoe_tpu.evals import evaluate_automoe
+    from automoe_tpu.evals.gating import context_gating_correlation
+    from automoe_tpu.evals.plots import plot_correlation_heatmap, plot_expert_usage
+    from automoe_tpu.train.workloads import gating_workload
+
+    cfg = (load_model_config(args.model_config) if args.model_config
+           else default_model_config())
+    wl = gating_workload(cfg, image_size=args.image_size)
+    variables = _load_state(wl, args.checkpoint)
+    kw = {"root_dir": args.data_root} if args.data_root else {}
+    loader = get_carla_sequence_loader(
+        split=args.split, batch_size=args.batch_size,
+        num_workers=args.num_workers, shuffle=False,
+        horizon=cfg.policy.num_waypoints, **kw,
+    )
+    forward = jax.jit(lambda v, b: wl.model.apply(v, b))
+    res = evaluate_automoe(forward, variables, loader)
+
+    expert_names = [e.type for e in cfg.experts]
+    vis = Path(args.out_dir) / "vis"
+    plot_expert_usage(res["expert_usage"], res["expert_std"], expert_names,
+                      str(vis / "expert_usage.png"))
+
+    # context ↔ gating correlation over the eval set
+    ctx_rows, gate_rows = [], []
+    for batch in loader:
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if not isinstance(v, list)}
+        pred = forward(variables, jb)
+        feats = [np.asarray(jb[k])[:, -1:]
+                 for k in ("speed", "steering", "throttle", "brake") if k in jb]
+        if not feats:
+            continue
+        ctx_rows.append(np.concatenate(feats, axis=1))
+        gate_rows.append(np.asarray(pred["gate_logits"] if args.use_logits
+                                    else pred["expert_weights"]))
+    if ctx_rows:
+        corr = context_gating_correlation(
+            np.concatenate(ctx_rows), np.concatenate(gate_rows),
+            use_logits=args.use_logits,
+            context_names=["speed", "steering", "throttle", "brake"],
+            expert_names=expert_names,
+        )
+        for kind in ("pearson", "spearman"):
+            plot_correlation_heatmap(
+                corr[kind], corr["context_names"], corr["expert_names"],
+                f"Context vs Expert Correlation ({kind.title()})",
+                str(vis / f"context_corr_{kind}.png"),
+            )
+        res["correlation"] = {
+            k: corr[k].tolist() for k in ("pearson", "spearman")
+        }
+
+    res.pop("expert_weights", None)
+    path = _timestamped(args.out_dir, "gating")
+    path.write_text(json.dumps(res, indent=2))
+    print(json.dumps({k: v for k, v in res.items() if k != "correlation"}))
+    return res
+
+
+def main(argv=None):
+    enable_compile_cache()
+    p = argparse.ArgumentParser("automoe-eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--data-root", default=None)
+        sp.add_argument("--split", default="val")
+        sp.add_argument("--batch-size", type=int, default=32)
+        sp.add_argument("--num-workers", type=int, default=4)
+        sp.add_argument("--image-size", type=int, default=256)
+        sp.add_argument("--box-cap", type=int, default=48)
+        sp.add_argument("--out-dir", default="eval_out")
+
+    pb = sub.add_parser("bdd")
+    pb.add_argument("--task", choices=["detection", "segmentation", "drivable"],
+                    required=True)
+    pb.add_argument("--source", choices=["bdd", "carla"], default="bdd")
+    common(pb)
+    pb.set_defaults(fn=cmd_bdd)
+
+    pn = sub.add_parser("nuscenes")
+    common(pn)
+    pn.set_defaults(fn=cmd_nuscenes)
+
+    pg = sub.add_parser("gating")
+    pg.add_argument("--model-config", default=None)
+    pg.add_argument("--use-logits", action="store_true")
+    common(pg)
+    pg.set_defaults(fn=cmd_gating)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
