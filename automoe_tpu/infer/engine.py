@@ -40,12 +40,12 @@ class InferenceEngine:
         self.camera_hw = camera_hw
         self.model_hw = model_hw
 
-        mean = jnp.asarray(IMAGENET_MEAN, dtype)
-        std = jnp.asarray(IMAGENET_STD, dtype)
-        self._mats = tuple(
-            jax.device_put(m)
-            for m in resize_weights(*camera_hw, *model_hw, antialias=True)
-        )
+        # numpy constants — closed-over device arrays poison dispatch
+        # latency on this runtime (see ops/resize.py docstring)
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        # kept as numpy: traced into the program as literals
+        self._mats = resize_weights(*camera_hw, *model_hw, antialias=True)
 
         def step(variables, mats, frame_u8, speed_kmh):
             x = frame_u8.astype(dtype) / 255.0

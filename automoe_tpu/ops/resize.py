@@ -37,13 +37,14 @@ def _interp_matrix(in_size: int, out_size: int, antialias: bool) -> np.ndarray:
 def resize_weights(
     in_h: int, in_w: int, out_h: int, out_w: int, antialias: bool = True
 ):
-    """Host-side (A_h [out_h,in_h], A_w [out_w,in_w]) interpolation matrices.
+    """Host-side (A_h [out_h,in_h], A_w [out_w,in_w]) interpolation matrices
+    as NUMPY arrays.
 
-    Pass these through the jit boundary as ARGUMENTS for large resizes:
-    embedding them as compile-time constants makes every execution of the
-    program (and all subsequent dispatches in the session!) pay a ~26 ms
-    penalty on the TPU tunnel runtime. As arguments the same einsum runs
-    in 0.03 ms.
+    Keep them numpy (traced as HLO literals) or pass them as arguments.
+    Closing over pre-created *device* arrays instead makes every execution
+    of the program — and all subsequent dispatches in the session — pay a
+    ~26 ms penalty on the TPU tunnel runtime; as numpy literals or
+    arguments the same einsum runs in 0.03 ms.
     """
     return (
         _interp_matrix(in_h, out_h, antialias),
