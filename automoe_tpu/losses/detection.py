@@ -25,6 +25,18 @@ from automoe_tpu.ops.masked import masked_cross_entropy, masked_smooth_l1
 from automoe_tpu.ops.matching import hungarian_match
 
 
+def _get_matcher(name: str):
+    """'hungarian' (exact, optax) or 'auction' (ε-optimal, ~6x faster on
+    TPU — see ops/auction.py)."""
+    if name == "hungarian":
+        return hungarian_match
+    if name == "auction":
+        from automoe_tpu.ops.auction import auction_match
+
+        return auction_match
+    raise ValueError(f"unknown matcher {name}")
+
+
 def scatter_matched_targets(
     query_idx: jnp.ndarray,
     valid: jnp.ndarray,
@@ -78,6 +90,7 @@ def detection_set_loss(
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
     bbox_reduction: str = "mean",
+    matcher: str = "hungarian",
 ) -> Dict[str, jnp.ndarray]:
     """Full detection loss from dense NHWC expert outputs.
 
@@ -93,7 +106,8 @@ def detection_set_loss(
     pred_boxes = bbox_deltas.reshape(B, Q, 4)
 
     tgt_cxcywh = box_convert(gt_boxes_xyxy, "xyxy", "cxcywh")
-    query_idx, valid = hungarian_match(
+    match_fn = _get_matcher(matcher)
+    query_idx, valid = match_fn(
         pred_logits,
         pred_boxes,
         tgt_cxcywh,

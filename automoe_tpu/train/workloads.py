@@ -92,6 +92,7 @@ def bdd_expert_workload(
     cost_class: float = 1.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
+    matcher: str = "auction",
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
     CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
@@ -116,6 +117,7 @@ def bdd_expert_workload(
                 cost_class=cost_class,
                 cost_bbox=cost_bbox,
                 cost_giou=cost_giou,
+                matcher=matcher,
             )
             metrics = {"class_loss": res["class_loss"], "bbox_loss": res["bbox_loss"]}
             return res["loss"], (metrics, new_stats)
@@ -162,6 +164,7 @@ def nuscenes_workload(
     lidar_cap: int = 2048,
     box_cap: int = 64,
     bbox_loss_weight: float = 5.0,
+    matcher: str = "auction",
 ) -> Workload:
     model = NuScenesExpert(
         num_queries=num_queries,
@@ -186,6 +189,7 @@ def nuscenes_workload(
             batch["boxes"],
             batch["labels"],
             bbox_loss_weight=bbox_loss_weight,
+            matcher=matcher,
         )
         metrics = {"class_loss": res["class_loss"], "bbox_loss": res["bbox_loss"]}
         return res["loss"], (metrics, new_stats)

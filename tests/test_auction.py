@@ -1,0 +1,78 @@
+"""Auction matcher: optimality vs scipy and loss parity vs Hungarian."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from automoe_tpu.losses.detection import detection_set_loss
+from automoe_tpu.ops.auction import auction_match
+from automoe_tpu.ops.matching import hungarian_match, match_cost_matrix
+
+
+def _random_problem(rng, B=6, Q=24, C=10, N=12):
+    logits = jnp.asarray(rng.normal(size=(B, Q, C)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.1, 0.9, (B, Q, 4)).astype(np.float32))
+    tb = jnp.asarray(rng.uniform(0.1, 0.9, (B, N, 4)).astype(np.float32))
+    tl = rng.integers(0, C, (B, N)).astype(np.int32)
+    counts = rng.integers(0, N + 1, B)
+    for b, c in enumerate(counts):
+        tl[b, c:] = -1
+    return logits, boxes, tb, jnp.asarray(tl), counts
+
+
+def test_auction_assignment_near_optimal(rng):
+    logits, boxes, tb, tl, counts = _random_problem(rng)
+    qi, valid = auction_match(logits, boxes, tb, tl)
+    qi = np.asarray(qi)
+    for b in range(len(counts)):
+        n = int(counts[b])
+        if n == 0:
+            continue
+        cost = np.asarray(match_cost_matrix(logits[b], boxes[b], tb[b], tl[b]))[:, :n]
+        cols = qi[b, :n]
+        assert len(set(cols.tolist())) == n  # one-to-one
+        ri, ci = linear_sum_assignment(cost.astype(np.float64))
+        ours = cost[cols, np.arange(n)].sum()
+        opt = cost[ri, ci].sum()
+        # single small-ε phase: within N*ε of optimal (ε = spread/100N)
+        spread = cost.max() - cost.min()
+        assert ours - opt <= spread * 0.011 + 1e-4, (b, ours, opt)
+
+
+def test_auction_loss_parity_with_hungarian(rng):
+    B, h, w, C, N = 4, 4, 4, 10, 8
+    logits = rng.normal(size=(B, h, w, C)).astype(np.float32)
+    deltas = rng.uniform(0.1, 0.9, (B, h, w, 4)).astype(np.float32)
+    gt = np.zeros((B, N, 4), np.float32)
+    lb = np.full((B, N), -1, np.int32)
+    for b in range(B):
+        n = int(rng.integers(1, N))
+        x1 = rng.uniform(0.05, 0.5, n)
+        y1 = rng.uniform(0.05, 0.5, n)
+        gt[b, :n] = np.stack([x1, y1, x1 + 0.3, y1 + 0.3], -1)
+        lb[b, :n] = rng.integers(0, C, n)
+
+    kw = dict(num_classes=C)
+    a = detection_set_loss(
+        jnp.asarray(logits), jnp.asarray(deltas), jnp.asarray(gt),
+        jnp.asarray(lb), matcher="auction", **kw,
+    )
+    h_ = detection_set_loss(
+        jnp.asarray(logits), jnp.asarray(deltas), jnp.asarray(gt),
+        jnp.asarray(lb), matcher="hungarian", **kw,
+    )
+    np.testing.assert_allclose(float(a["loss"]), float(h_["loss"]), rtol=2e-3)
+    np.testing.assert_allclose(
+        float(a["class_loss"]), float(h_["class_loss"]), rtol=5e-3, atol=1e-3
+    )
+
+
+def test_auction_empty_targets(rng):
+    logits = jnp.asarray(rng.normal(size=(2, 8, 10)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.1, 0.9, (2, 8, 4)).astype(np.float32))
+    tb = jnp.zeros((2, 4, 4), jnp.float32)
+    tl = jnp.full((2, 4), -1, jnp.int32)
+    qi, valid = auction_match(logits, boxes, tb, tl)
+    assert not bool(np.asarray(valid).any())
+    assert np.isfinite(np.asarray(qi)).all()
