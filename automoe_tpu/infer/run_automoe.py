@@ -27,6 +27,12 @@ from automoe_tpu.infer.engine import InferenceEngine
 from automoe_tpu.infer.sim import MockSim
 
 
+def CarlaSim(**kw):  # lazy import: needs the carla client wheel
+    from automoe_tpu.infer.carla_sim import CarlaSim as _C
+
+    return _C(**kw)
+
+
 def run_closed_loop(
     engine: InferenceEngine,
     sim,
@@ -140,6 +146,9 @@ def main(argv=None):
     p.add_argument("--save-frames", action="store_true")
     p.add_argument("--export-gif", action="store_true")
     p.add_argument("--backend", choices=["auto", "mock", "carla"], default="auto")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=2000)
+    p.add_argument("--town", default=None)
     args = p.parse_args(argv)
 
     from automoe_tpu.configs import default_model_config
@@ -154,11 +163,12 @@ def main(argv=None):
     if backend == "auto":
         backend = "carla" if _carla_available() else "mock"
     if backend == "carla":
-        raise NotImplementedError(
-            "CARLA client loop requires a running CARLA server; use the "
-            "mock backend in this environment"
+        sim = CarlaSim(
+            host=args.host, port=args.port, town=args.town,
+            fixed_dt=args.fixed_dt,
         )
-    sim = MockSim(fixed_dt=args.fixed_dt)
+    else:
+        sim = MockSim(fixed_dt=args.fixed_dt)
 
     logs = run_closed_loop(
         engine,
@@ -171,6 +181,8 @@ def main(argv=None):
     )
     if args.export_gif:
         export_gif(f"{args.out_dir}/frames", f"{args.out_dir}/run.gif")
+    if hasattr(sim, "close"):
+        sim.close()
     lat = [l["infer_ms"] for l in logs[5:]]
     print(
         json.dumps(

@@ -119,6 +119,11 @@ def auction_match(
     max_iters: int = 1000,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in near-optimal replacement for hungarian_match (same API)."""
+    # matching is non-differentiable target construction (the reference
+    # matcher is @torch.no_grad, hungarian_matcher.py:20); stop gradients
+    # so the price-iteration while_loop never needs a transpose rule
+    pred_logits = jax.lax.stop_gradient(pred_logits)
+    pred_boxes = jax.lax.stop_gradient(pred_boxes)
     valid = tgt_labels >= 0
     cost = jax.vmap(
         lambda l, b, tb, tl: match_cost_matrix(

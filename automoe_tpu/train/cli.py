@@ -45,6 +45,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (params stay fp32)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
     p.add_argument("--multihost", action="store_true",
@@ -62,6 +64,12 @@ def _mesh(args):
 def _args_dump(args) -> dict:
     return {k: v for k, v in vars(args).items() if isinstance(
         v, (str, int, float, bool, type(None), list))}
+
+
+def _dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
 
 
 def _train_cfg(args) -> TrainConfig:
@@ -110,7 +118,7 @@ def cmd_bdd(args):
     kw = {"box_cap": args.box_cap} if args.task == "detection" else {}
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
-        bbox_loss_weight=args.bbox_loss_weight,
+        bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -132,7 +140,7 @@ def cmd_finetune_carla(args):
     kw = {"box_cap": args.box_cap} if args.task == "detection" else {}
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
-        bbox_loss_weight=args.bbox_loss_weight,
+        bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -152,6 +160,7 @@ def cmd_nuscenes(args):
         lidar_cap=args.lidar_cap,
         box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight,
+        dtype=_dtype(args),
     )
     mesh = _mesh(args)
     train, val = _loaders(
@@ -166,6 +175,7 @@ def cmd_nuscenes_2d(args):
     wl = W.carla_nuscenes_2d_workload(
         num_queries=args.num_queries, image_size=args.image_size,
         box_cap=args.box_cap, bbox_loss_weight=args.bbox_loss_weight,
+        dtype=_dtype(args),
     )
     mesh = _mesh(args)
     train, val = _loaders(get_carla_detection_loader, args, box_cap=args.box_cap)
@@ -177,7 +187,7 @@ def cmd_policy(args):
 
     wl = W.policy_workload(
         horizon=args.horizon, context_dim=args.context_dim,
-        image_size=args.image_size,
+        image_size=args.image_size, dtype=_dtype(args),
     )
     if args.epochs == 0:
         # dry-run shape check (parity with train_carla_policy.py:178-188)
@@ -206,7 +216,7 @@ def cmd_gating(args):
     loss_cfg = json.loads(args.loss_config) if args.loss_config else {}
     wl = W.gating_workload(
         model_cfg, loss_config=loss_cfg, image_size=args.image_size,
-        freeze_experts=not args.unfreeze_experts,
+        freeze_experts=not args.unfreeze_experts, dtype=_dtype(args),
     )
     mesh = _mesh(args)
     train, val = _loaders(

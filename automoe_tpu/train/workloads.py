@@ -93,6 +93,7 @@ def bdd_expert_workload(
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
     matcher: str = "auction",
+    dtype=jnp.float32,
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
     CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
@@ -101,7 +102,7 @@ def bdd_expert_workload(
     C = num_classes if num_classes is not None else defaults[task]
 
     if task == "detection":
-        model = BDDDetectionExpert(num_classes=C)
+        model = BDDDetectionExpert(num_classes=C, dtype=dtype)
 
         def loss_fn(params, batch_stats, batch, rng, train):
             out, new_stats = _apply(
@@ -129,9 +130,9 @@ def bdd_expert_workload(
         }
     else:
         model = (
-            BDDSegmentationExpert(num_classes=C)
+            BDDSegmentationExpert(num_classes=C, dtype=dtype)
             if task == "segmentation"
-            else BDDDrivableExpert(num_classes=C)
+            else BDDDrivableExpert(num_classes=C, dtype=dtype)
         )
 
         def loss_fn(params, batch_stats, batch, rng, train):
@@ -165,6 +166,7 @@ def nuscenes_workload(
     box_cap: int = 64,
     bbox_loss_weight: float = 5.0,
     matcher: str = "auction",
+    dtype=jnp.float32,
 ) -> Workload:
     model = NuScenesExpert(
         num_queries=num_queries,
@@ -172,6 +174,7 @@ def nuscenes_workload(
         use_lidar=use_lidar,
         use_tnet=use_tnet,
         bbox_dim=bbox_dim,
+        dtype=dtype,
     )
 
     def loss_fn(params, batch_stats, batch, rng, train):
@@ -219,6 +222,7 @@ def carla_nuscenes_2d_workload(
     image_size: int = 256,
     box_cap: int = 48,
     bbox_loss_weight: float = 1.0,
+    dtype=jnp.float32,
 ) -> Workload:
     from automoe_tpu.models.experts import NuScenesImage2DHead
     from automoe_tpu.losses.detection import scatter_matched_targets
@@ -226,7 +230,7 @@ def carla_nuscenes_2d_workload(
     from automoe_tpu.ops.masked import masked_cross_entropy, masked_smooth_l1
     from automoe_tpu.ops.matching import hungarian_match
 
-    model = NuScenesImage2DHead(num_queries=num_queries, num_classes=num_classes)
+    model = NuScenesImage2DHead(num_queries=num_queries, num_classes=num_classes, dtype=dtype)
 
     def loss_fn(params, batch_stats, batch, rng, train):
         out, new_stats = _apply(
@@ -265,10 +269,12 @@ def policy_workload(
     context_dim: int = 0,
     backbone_dim: int = 512,
     image_size: int = 256,
+    dtype=jnp.float32,
 ) -> Workload:
     """Standalone TrajectoryPolicy training (train_carla_policy.py)."""
     model = TrajectoryPolicy(
-        horizon=horizon, context_dim=context_dim, backbone_dim=backbone_dim
+        horizon=horizon, context_dim=context_dim, backbone_dim=backbone_dim,
+        dtype=dtype,
     )
 
     def loss_fn(params, batch_stats, batch, rng, train):
@@ -303,12 +309,13 @@ def gating_workload(
     loss_config: Optional[Dict] = None,
     image_size: int = 256,
     freeze_experts: bool = True,
+    dtype=jnp.float32,
 ) -> Workload:
     """Gating training over the full AutoMoE (train_gating_network.py):
     experts frozen (stop-gradient via optimizer mask), gating + extractors +
     context + policy train."""
     cfg: AutoMoEConfig = load_model_config(model_config)
-    model = create_automoe_model(cfg)
+    model = create_automoe_model(cfg, dtype=dtype)
     horizon = cfg.policy.num_waypoints
     lcfg = dict(loss_config or {})
 
