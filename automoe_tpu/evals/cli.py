@@ -160,6 +160,73 @@ def cmd_gating(args):
     return res
 
 
+def cmd_visualize(args):
+    """GT-vs-prediction overlays + per-image analysis table (counterpart of
+    eval/visualize_bdd100k_detection.py + analyze_bdd100k_detection_batch.py)."""
+    from automoe_tpu.data import get_bdd_detection_loader, get_carla_detection_loader
+    from automoe_tpu.evals.detection import detection_eval_batch
+    from automoe_tpu.evals.plots import (
+        analyze_detection_per_image,
+        draw_detections,
+        topk_predictions,
+    )
+    from automoe_tpu.train.workloads import bdd_expert_workload
+
+    factory = (
+        get_carla_detection_loader if args.source == "carla"
+        else get_bdd_detection_loader
+    )
+    kw = {"root_dir": args.data_root} if args.data_root else {}
+    loader = factory(split=args.split, batch_size=args.batch_size,
+                     num_workers=args.num_workers, shuffle=False,
+                     box_cap=args.box_cap, **kw)
+    wl = bdd_expert_workload("detection", image_size=args.image_size)
+    variables = _load_state(wl, args.checkpoint)
+    apply_fn = jax.jit(lambda v, img: wl.model.apply(v, img))
+
+    vis_dir = Path(args.out_dir) / "vis"
+    rows = []
+    done = 0
+    for batch in loader:
+        out = apply_fn(variables, jnp.asarray(batch["image"]))
+        m = detection_eval_batch(
+            out["class_logits"], out["bbox_deltas"],
+            jnp.asarray(batch["bboxes"]), jnp.asarray(batch["labels"]),
+            num_classes=wl.model.num_classes,
+        )
+        logits = np.asarray(out["class_logits"])
+        deltas = np.asarray(out["bbox_deltas"])
+        H, W = batch["image"].shape[1:3]
+        for i in range(len(batch["image"])):
+            if done >= args.max_images:
+                break
+            pred_xyxy, scores = topk_predictions(
+                logits[i], deltas[i], k=args.topk,
+                threshold=args.threshold, image_hw=(H, W),
+            )
+            gt = np.asarray(batch["bboxes"][i])
+            gt = gt[np.asarray(batch["labels"][i]) >= 0]
+            draw_detections(
+                np.asarray(batch["image"][i]), gt, pred_xyxy,
+                str(vis_dir / f"det_{done:04d}.jpg"), scores,
+            )
+            valid = np.asarray(m["valid"][i])
+            rows.append({
+                "n_gt": int(valid.sum()),
+                "n_match": int(valid.sum()),
+                "mean_iou": float(np.asarray(m["sample_iou"][i])),
+                "recall": float(np.asarray(m["sample_recall"][i])),
+            })
+            done += 1
+        if done >= args.max_images:
+            break
+    table = analyze_detection_per_image(
+        rows, str(_timestamped(args.out_dir, "detection_per_image"))
+    )
+    print(json.dumps(table[: min(5, len(table))]))
+    return table
+
+
 def main(argv=None):
     enable_compile_cache()
     p = argparse.ArgumentParser("automoe-eval")
@@ -191,6 +258,14 @@ def main(argv=None):
     pg.add_argument("--use-logits", action="store_true")
     common(pg)
     pg.set_defaults(fn=cmd_gating)
+
+    pv = sub.add_parser("visualize-detection")
+    pv.add_argument("--source", choices=["bdd", "carla"], default="bdd")
+    pv.add_argument("--max-images", type=int, default=16)
+    pv.add_argument("--topk", type=int, default=10)
+    pv.add_argument("--threshold", type=float, default=0.3)
+    common(pv)
+    pv.set_defaults(fn=cmd_visualize)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -88,18 +88,18 @@ def _train_cfg(args) -> TrainConfig:
 
 
 def _loaders(factory, args, **kw):
-    mesh = kw.pop("mesh", None)
-    shards = mesh.shape["data"] if mesh is not None else 1
+    # Within one host the mesh shards each global batch at device_put; across
+    # hosts each process reads its own slice (the DistributedSampler role).
     common = dict(
         batch_size=args.batch_size,
         num_workers=args.num_workers,
-        num_shards=1,  # single-host: mesh sharding happens on device_put
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
     )
     if args.data_root:
         common["root_dir"] = args.data_root
     train = factory(split="train", **common, **kw)
     val = factory(split="val", shuffle=False, **common, **kw)
-    del shards
     return train, val
 
 
