@@ -26,14 +26,19 @@ from automoe_tpu.ops.matching import hungarian_match
 
 
 def _get_matcher(name: str):
-    """'hungarian' (exact, optax) or 'auction' (ε-optimal, ~6x faster on
-    TPU — see ops/auction.py)."""
+    """'hungarian' (exact, optax), 'auction' (ε-optimal jnp, ~6x faster on
+    TPU), or 'auction_pallas' (VMEM-resident Pallas kernel, ~33x — see
+    ops/pallas_auction.py)."""
     if name == "hungarian":
         return hungarian_match
     if name == "auction":
         from automoe_tpu.ops.auction import auction_match
 
         return auction_match
+    if name == "auction_pallas":
+        from automoe_tpu.ops.pallas_auction import auction_match_pallas
+
+        return auction_match_pallas
     raise ValueError(f"unknown matcher {name}")
 
 

@@ -22,6 +22,7 @@ from automoe_tpu.train.state import TrainState, make_optimizer
 from automoe_tpu.train.step import make_eval_step, make_train_step
 from automoe_tpu.train.workloads import Workload
 from automoe_tpu.utils.metrics import MetricsLogger
+from automoe_tpu.utils.profiling import StepTimer
 
 
 @dataclass
@@ -84,6 +85,7 @@ class Trainer:
         )
         self.logger = MetricsLogger(f"{config.runs_root}/{workload.name}_{config.run_name}")
         self.rng = jax.random.key(config.seed + 1)
+        self.timer = StepTimer()
         self.start_epoch = 0
         if config.resume:
             self.state, epoch = self.ckpt.restore(
@@ -102,16 +104,22 @@ class Trainer:
         total, n = 0.0, 0
         t0 = time.time()
         for i, batch in enumerate(self.train_loader):
+            self.timer.start()
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch), self.rng
             )
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # host sync bounds the step
+            self.timer.stop()
             total += loss
             n += 1
             step = int(self.state.step)
             if step % self.cfg.log_every == 0:
-                self.logger.log(step, {k: float(v) for k, v in metrics.items()},
-                                prefix="train")
+                self.logger.log(
+                    step,
+                    {**{k: float(v) for k, v in metrics.items()},
+                     **self.timer.stats()},
+                    prefix="train",
+                )
         avg = total / max(1, n)
         self.logger.log(
             int(self.state.step),

@@ -8,6 +8,11 @@ Usage: python benchmarks/train_step_bench.py [--matcher auction|hungarian]
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import json
 import time
