@@ -45,6 +45,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
+    p.add_argument("--matcher", default="auction",
+                   choices=["auction", "auction_pallas", "hungarian"],
+                   help="set-matching solver for detection-style losses")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (params stay fp32)")
     p.add_argument("--no-mesh", action="store_true",
@@ -119,6 +122,7 @@ def cmd_bdd(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
+        matcher=args.matcher,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -141,6 +145,7 @@ def cmd_finetune_carla(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
+        matcher=args.matcher,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -161,6 +166,7 @@ def cmd_nuscenes(args):
         box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight,
         dtype=_dtype(args),
+        matcher=args.matcher,
     )
     mesh = _mesh(args)
     train, val = _loaders(
