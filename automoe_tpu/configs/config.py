@@ -38,6 +38,12 @@ class GatingConfig:
     noise_type: str = "gumbel"  # 'gumbel' | 'gaussian' | 'none'
     noise_scale: float = 1.0
     apply_topk_at_eval: bool = False
+    # Reference quirk: AutoMoE._create_gating_network drops top_k/noise from
+    # the gating config (automoe.py:78-91), so the shipped composite always
+    # routes densely even though model_config.json says top_k=2. Default
+    # False replicates that; set True to actually honor top-k in the
+    # composite model.
+    honor_topk_in_composite: bool = False
 
 
 @dataclass(frozen=True)

@@ -137,6 +137,11 @@ class AutoMoE(nn.Module):
             )
             for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
         ]
+        # Reference parity: the composite constructor DROPS top_k/noise from
+        # the gating config (automoe.py:78-91 passes neither), so top-k
+        # routing is inert in the shipped pipeline. honor_topk_in_composite
+        # opts back in.
+        honor = cfg.gating.honor_topk_in_composite
         gating = GatingNetwork(
             num_experts=len(cfg.experts),
             context_dim=cfg.context.context_dim,
@@ -145,10 +150,10 @@ class AutoMoE(nn.Module):
             hidden_dim=cfg.gating.hidden_dim,
             temperature=cfg.gating.temperature,
             use_softmax=cfg.gating.use_softmax,
-            top_k=cfg.gating.top_k,
+            top_k=cfg.gating.top_k if honor else 0,
             noise_type=cfg.gating.noise_type,
-            noise_scale=cfg.gating.noise_scale,
-            apply_topk_at_eval=cfg.gating.apply_topk_at_eval,
+            noise_scale=cfg.gating.noise_scale if honor else 0.0,
+            apply_topk_at_eval=cfg.gating.apply_topk_at_eval if honor else False,
             dtype=self.dtype,
             name="gating_network",
         )

@@ -249,6 +249,7 @@ class FusedAutoMoE(nn.Module):
             make_extractor(ecfg, self.dtype, name=f"extractor_{i}")(out)
             for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
         ]
+        honor = cfg.gating.honor_topk_in_composite
         gating = GatingNetwork(
             num_experts=groups,
             context_dim=cfg.context.context_dim,
@@ -257,10 +258,10 @@ class FusedAutoMoE(nn.Module):
             hidden_dim=cfg.gating.hidden_dim,
             temperature=cfg.gating.temperature,
             use_softmax=cfg.gating.use_softmax,
-            top_k=cfg.gating.top_k,
+            top_k=cfg.gating.top_k if honor else 0,
             noise_type=cfg.gating.noise_type,
-            noise_scale=cfg.gating.noise_scale,
-            apply_topk_at_eval=cfg.gating.apply_topk_at_eval,
+            noise_scale=cfg.gating.noise_scale if honor else 0.0,
+            apply_topk_at_eval=cfg.gating.apply_topk_at_eval if honor else False,
             dtype=self.dtype,
             name="gating_network",
         )
