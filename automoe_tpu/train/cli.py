@@ -243,8 +243,44 @@ def cmd_gating(args):
     return trainer.fit(_args_dump(args))
 
 
+def _expand_preset(argv):
+    """`preset <name-or-path> [overrides...]` → full subcommand argv.
+
+    Presets are JSON run configs (automoe_tpu/configs/presets/) — the typed
+    replacement for the reference's per-run JSON config files
+    (models/configs/*/..._config.json). Trailing args override preset keys
+    (argparse last-wins).
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    name = argv[1]
+    path = _Path(name)
+    if not path.exists():
+        path = _Path(__file__).resolve().parents[1] / "configs" / "presets" / name
+        if not path.suffix:
+            path = path.with_suffix(".json")
+    cfg = _json.loads(path.read_text())
+    out = [cfg.pop("pipeline")]
+    for key, val in cfg.items():
+        flag = "--" + key.replace("_", "-")
+        if isinstance(val, bool):
+            if val:
+                out.append(flag)
+        elif isinstance(val, dict):
+            out += [flag, _json.dumps(val)]
+        else:
+            out += [flag, str(val)]
+    return out + list(argv[2:])
+
+
 def main(argv=None):
     enable_compile_cache()
+    import sys as _sys
+
+    argv = list(argv) if argv is not None else _sys.argv[1:]
+    if argv and argv[0] == "preset":
+        argv = _expand_preset(argv)
     p = argparse.ArgumentParser("automoe-train")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -62,3 +62,24 @@ def test_policy_one_epoch(carla_root, tmp_path):
         "--runs-root", str(tmp_path / "runs"),
     ])
     assert np.isfinite(out["best_val_loss"])
+
+
+def test_preset_expansion(carla_root, tmp_path):
+    """`preset quick_test` runs a 1-epoch drivable train via the preset
+    config layer (replacement for the reference's per-run JSON configs)."""
+    import json
+
+    preset = tmp_path / "p.json"
+    preset.write_text(json.dumps({
+        "pipeline": "finetune-carla", "task": "drivable", "epochs": 1,
+        "batch_size": 4, "image_size": 32, "run_name": "preset_test",
+    }))
+    out = train_main([
+        "preset", str(preset),
+        "--data-root", str(carla_root),
+        "--num-workers", "1", "--no-mesh",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "ckpt" / "bdd_drivable" / "preset_test" / "best").exists()
