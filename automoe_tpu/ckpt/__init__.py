@@ -1,3 +1,7 @@
+from automoe_tpu.ckpt.torch_export import (  # noqa: F401
+    export_automoe_state_dict,
+    save_torch_checkpoint,
+)
 from automoe_tpu.ckpt.torch_import import (  # noqa: F401
     import_automoe,
     import_context,
