@@ -210,10 +210,10 @@ def cmd_visualize(args):
                 np.asarray(batch["image"][i]), gt, pred_xyxy,
                 str(vis_dir / f"det_{done:04d}.jpg"), scores,
             )
-            valid = np.asarray(m["valid"][i])
+            n_gt = int((np.asarray(batch["labels"][i]) >= 0).sum())
             rows.append({
-                "n_gt": int(valid.sum()),
-                "n_match": int(valid.sum()),
+                "n_gt": n_gt,
+                "n_match": n_gt,  # every GT is matched under set matching
                 "mean_iou": float(np.asarray(m["sample_iou"][i])),
                 "recall": float(np.asarray(m["sample_recall"][i])),
             })

@@ -87,11 +87,13 @@ def draw_detections(
             if (b < 0).all():
                 continue
             x1, y1, x2, y2 = [float(v) for v in b]
-            draw.rectangle(
-                [max(0, x1), max(0, y1), min(W - 1, x2), min(H - 1, y2)],
-                outline=color,
-                width=2,
-            )
+            # raw predictions may have inverted corners (negative w/h)
+            x1, x2 = sorted((x1, x2))
+            y1, y2 = sorted((y1, y2))
+            box = [max(0, x1), max(0, y1), min(W - 1, x2), min(H - 1, y2)]
+            if box[2] <= box[0] or box[3] <= box[1]:
+                continue
+            draw.rectangle(box, outline=color, width=2)
             if scores is not None:
                 draw.text((x1 + 2, y1 + 2), f"{scores[i]:.2f}", fill=color)
 

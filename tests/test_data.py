@@ -81,13 +81,14 @@ def test_bdd_detection_roundtrip_vs_reference(bdd_det_root):
         assert (b["labels"][i, n:] == -1).all()
 
 
-def _make_carla_frame(rng, with_boxes=True, frame_id=0, run_id="run_001"):
+def _make_carla_frame(rng, with_boxes=True, frame_id=0, run_id="run_001",
+                      size=32):
     frame = {
         "image": torch.from_numpy(
-            rng.normal(size=(3, 32, 32)).astype(np.float32)
+            rng.normal(size=(3, size, size)).astype(np.float32)
         ),
         "mask": torch.from_numpy(
-            rng.integers(0, 12, (32, 32)).astype(np.int64)
+            rng.integers(0, 12, (size, size)).astype(np.int64)
         ),
         "lidar": torch.from_numpy(rng.normal(size=(20, 3)).astype(np.float32)),
         "vehicle_state": {
