@@ -16,9 +16,6 @@ non-selected branches; the gradient all-reduce over 'model' sums them).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
