@@ -35,7 +35,11 @@ class InferenceEngine:
         seed: int = 0,
     ):
         self.config = load_model_config(model_config)
-        self.model = create_automoe_model(self.config, dtype=dtype)
+        # the engine returns control outputs only → the exact-equivalent
+        # fast gating pool (no full-res seg map materialisation)
+        self.model = create_automoe_model(
+            self.config, dtype=dtype, fast_gating_pool=True
+        )
         self.dtype = dtype
         self.camera_hw = camera_hw
         self.model_hw = model_hw

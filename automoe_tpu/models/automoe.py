@@ -35,13 +35,13 @@ from automoe_tpu.models.policy import TrajectoryPolicy
 Dtype = Any
 
 
-def _make_expert(cfg, dtype, name):
+def _make_expert(cfg, dtype, name, upsample=True):
     if cfg.type == "detection":
         return BDDDetectionExpert(cfg.num_classes, dtype, name=name)
     if cfg.type == "segmentation":
-        return BDDSegmentationExpert(cfg.num_classes, dtype, name=name)
+        return BDDSegmentationExpert(cfg.num_classes, dtype, upsample, name=name)
     if cfg.type == "drivable":
-        return BDDDrivableExpert(cfg.num_classes, dtype, name=name)
+        return BDDDrivableExpert(cfg.num_classes, dtype, upsample, name=name)
     if cfg.type == "nuscenes":
         return NuScenesExpert(
             num_queries=cfg.num_queries,
@@ -68,6 +68,12 @@ def _last_step(x: jnp.ndarray) -> jnp.ndarray:
 class AutoMoE(nn.Module):
     config: AutoMoEConfig
     dtype: Dtype = jnp.float32
+    #: Serving fast path: seg/drivable experts skip the full-res bilinear
+    #: upsample and their gating extractors pool the low-res logits with
+    #: exact mean-of-resize weights (bit-equivalent gating inputs, no
+    #: [B,H,W,C] map materialisation). expert_outputs then contain the
+    #: LOW-RES maps — use the default for dense-map consumers.
+    fast_gating_pool: bool = False
 
     @nn.compact
     def __call__(
@@ -116,7 +122,10 @@ class AutoMoE(nn.Module):
         # --- experts (dense execution; unrolls into one fused graph) ---
         expert_outputs: List[Any] = []
         for i, ecfg in enumerate(cfg.experts):
-            expert = _make_expert(ecfg, self.dtype, name=f"expert_{i}")
+            expert = _make_expert(
+                ecfg, self.dtype, name=f"expert_{i}",
+                upsample=not self.fast_gating_pool,
+            )
             if ecfg.type == "nuscenes":
                 lidar = batch.get("lidar")
                 if lidar is None:
@@ -131,10 +140,20 @@ class AutoMoE(nn.Module):
             expert_outputs.append(out)
 
         # --- uniform features + gating ---
-        expert_features = [
-            make_extractor(ecfg, self.dtype, name=f"extractor_{i}")(
-                out, deterministic=deterministic
+        pool_uv = None
+        if self.fast_gating_pool:
+            from automoe_tpu.ops.resize import mean_of_resize_weights
+
+            low_h, low_w = image.shape[1] // 32, image.shape[2] // 32
+            pool_uv = mean_of_resize_weights(
+                low_h, low_w, image.shape[1], image.shape[2], False
             )
+        expert_features = [
+            make_extractor(
+                ecfg, self.dtype, name=f"extractor_{i}",
+                pool_uv=(pool_uv if ecfg.type in ("segmentation", "drivable")
+                         else None),
+            )(out, deterministic=deterministic)
             for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
         ]
         # Reference parity: the composite constructor DROPS top_k/noise from
@@ -186,10 +205,13 @@ class AutoMoE(nn.Module):
         }
 
 
-def create_automoe_model(config, dtype=jnp.float32) -> AutoMoE:
+def create_automoe_model(config, dtype=jnp.float32, fast_gating_pool=False) -> AutoMoE:
     """Build AutoMoE from a config dict / JSON path / AutoMoEConfig
     (parity with reference create_automoe_model, automoe.py:282-299)."""
-    return AutoMoE(config=load_model_config(config), dtype=dtype)
+    return AutoMoE(
+        config=load_model_config(config), dtype=dtype,
+        fast_gating_pool=fast_gating_pool,
+    )
 
 
 def expert_param_mask(params: Dict, frozen: bool = True) -> Dict:

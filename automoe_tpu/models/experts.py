@@ -72,15 +72,21 @@ class BDDDetectionExpert(nn.Module):
 
 
 class BDDSegmentationExpert(nn.Module):
-    """ResNet18 trunk → conv decoder → bilinear upsample to input res."""
+    """ResNet18 trunk → conv decoder → bilinear upsample to input res.
+
+    upsample=False returns the low-res logits (serving fast path: the
+    gating extractor pools them with exact mean-of-resize weights)."""
 
     num_classes: int = 19
     dtype: Dtype = jnp.float32
+    upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         feats = ResNet18Backbone(dtype=self.dtype, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
+        if not self.upsample:
+            return logits  # [B,H/32,W/32,C]
         return bilinear_resize(logits, x.shape[1], x.shape[2])  # [B,H,W,C]
 
 
@@ -89,11 +95,14 @@ class BDDDrivableExpert(nn.Module):
 
     num_classes: int = 3
     dtype: Dtype = jnp.float32
+    upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         feats = ResNet18Backbone(dtype=self.dtype, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
+        if not self.upsample:
+            return logits
         return bilinear_resize(logits, x.shape[1], x.shape[2])
 
 

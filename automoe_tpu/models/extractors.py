@@ -7,12 +7,23 @@ to [B, Q*(C+bbox_dim)] first.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
+
+
+def _pool(x: jnp.ndarray, uv: Optional[Tuple[np.ndarray, np.ndarray]]):
+    """Plain GAP, or exact mean-of-resize pooling over low-res logits
+    (ops.resize.mean_of_resize_weights) when uv is given."""
+    if uv is None:
+        return jnp.mean(x, axis=(1, 2))
+    u, v = uv
+    return jnp.einsum("h,bhwc,w->bc", jnp.asarray(u, x.dtype), x,
+                      jnp.asarray(v, x.dtype))
 
 
 class _MLPHead(nn.Module):
@@ -53,10 +64,11 @@ class SegmentationExpertExtractor(nn.Module):
     output_dim: int = 256
     num_classes: int = 19
     dtype: Dtype = jnp.float32
+    pool_uv: Optional[Tuple] = None  # exact low-res pooling (serving)
 
     @nn.compact
     def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
-        pooled = jnp.mean(expert_output, axis=(1, 2))  # [B,num_classes]
+        pooled = _pool(expert_output, self.pool_uv)  # [B,num_classes]
         return _MLPHead(
             "seg", self.output_dim, self.dtype, name="head"
         )(pooled, deterministic=deterministic)
@@ -66,10 +78,11 @@ class DrivableExpertExtractor(nn.Module):
     output_dim: int = 256
     num_classes: int = 3
     dtype: Dtype = jnp.float32
+    pool_uv: Optional[Tuple] = None
 
     @nn.compact
     def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
-        pooled = jnp.mean(expert_output, axis=(1, 2))
+        pooled = _pool(expert_output, self.pool_uv)
         return _MLPHead(
             "drv", self.output_dim, self.dtype, name="head"
         )(pooled, deterministic=deterministic)
@@ -98,7 +111,7 @@ class NuScenesExpertExtractor(nn.Module):
 ExtractorOutput = Union[jnp.ndarray, Dict[str, jnp.ndarray]]
 
 
-def make_extractor(expert_config, dtype=jnp.float32, name=None) -> nn.Module:
+def make_extractor(expert_config, dtype=jnp.float32, name=None, pool_uv=None) -> nn.Module:
     """Factory mirroring reference create_expert_extractors
     (models/experts/expert_extractors.py:159-201)."""
     t = expert_config.type
@@ -108,11 +121,13 @@ def make_extractor(expert_config, dtype=jnp.float32, name=None) -> nn.Module:
         )
     if t == "segmentation":
         return SegmentationExpertExtractor(
-            expert_config.output_dim, expert_config.num_classes, dtype, name=name
+            expert_config.output_dim, expert_config.num_classes, dtype,
+            pool_uv=pool_uv, name=name,
         )
     if t == "drivable":
         return DrivableExpertExtractor(
-            expert_config.output_dim, expert_config.num_classes, dtype, name=name
+            expert_config.output_dim, expert_config.num_classes, dtype,
+            pool_uv=pool_uv, name=name,
         )
     if t == "nuscenes":
         return NuScenesExpertExtractor(

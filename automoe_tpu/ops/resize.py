@@ -52,6 +52,22 @@ def resize_weights(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def mean_of_resize_weights(
+    in_h: int, in_w: int, out_h: int, out_w: int, antialias: bool = False
+):
+    """(u [in_h], v [in_w]) such that mean(resize(x)) == u^T x v exactly.
+
+    mean over the resized map is linear: mean_o(A x A'^T) = (mean of A's
+    rows) x (mean of A''s rows)^T. Lets the gating extractors pool the
+    experts' LOW-RES logits without materialising the [B,H,W,C] upsampled
+    map (pure HBM traffic on the serving path).
+    """
+    u = _interp_matrix(in_h, out_h, antialias).mean(axis=0)
+    v = _interp_matrix(in_w, out_w, antialias).mean(axis=0)
+    return u.astype(np.float32), v.astype(np.float32)
+
+
 def resize_bilinear(
     x: jnp.ndarray,
     out_h: int,

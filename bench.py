@@ -41,7 +41,12 @@ def build_chain(batch_size: int, dtype=jnp.bfloat16):
     from automoe_tpu.ops.resize import resize_bilinear, resize_weights
     from automoe_tpu.utils import jit_init
 
-    model = create_automoe_model(default_model_config(), dtype=dtype)
+    # fast_gating_pool: the bench consumes only waypoints/speed/weights, so
+    # the seg experts' full-res maps are skipped (exact-equivalent gating
+    # inputs; see models/automoe.py)
+    model = create_automoe_model(
+        default_model_config(), dtype=dtype, fast_gating_pool=True
+    )
     # numpy constants: closed-over *device* arrays poison dispatch latency
     # on this runtime; numpy traces as an HLO literal and is fine.
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
