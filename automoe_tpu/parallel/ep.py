@@ -29,13 +29,8 @@ from automoe_tpu.models.policy import TrajectoryPolicy
 from automoe_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def make_ep_forward(config, mesh: Mesh, dtype=jnp.float32):
-    """Build fn(variables, batch) -> outputs with expert-parallel execution.
-
-    `variables` is a standard AutoMoE variable tree (replicated); `batch`
-    is sharded over 'data'. Output schema matches AutoMoE minus the raw
-    per-expert outputs (only the fused features cross devices).
-    """
+def _make_ep_body(config, mesh: Mesh, dtype=jnp.float32):
+    """Shared shard_map body for EP forward / EP training."""
     cfg: AutoMoEConfig = load_model_config(config)
     E = len(cfg.experts)
     if mesh.shape[MODEL_AXIS] != E:
@@ -132,12 +127,91 @@ def make_ep_forward(config, mesh: Mesh, dtype=jnp.float32):
             "gate_logits": gating_out["gate_logits"],
         }
 
-    batch_spec = P(DATA_AXIS)
+    return body
+
+
+def make_ep_forward(config, mesh: Mesh, dtype=jnp.float32):
+    """Build fn(variables, batch) -> outputs with expert-parallel execution.
+
+    `variables` is a standard AutoMoE variable tree (replicated); `batch`
+    is sharded over 'data'. Output schema matches AutoMoE minus the raw
+    per-expert outputs (only the fused features cross devices).
+    """
+    body = _make_ep_body(config, mesh, dtype=dtype)
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), batch_spec),
-        out_specs=batch_spec,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
         check_vma=False,
     )
     return jax.jit(fn)
+
+
+def make_ep_gating_train_step(config, mesh: Mesh, tx, *, loss_config=None,
+                              dtype=jnp.float32):
+    """Expert-parallel GATING training step (frozen experts as usual via the
+    optimizer mask in `tx`). Gradients flow through the expert switch; the
+    shard_map transpose inserts the psum over both mesh axes for the
+    replicated parameters (verified exact vs the dense step in
+    tests/test_ep.py).
+
+    The gating loss is made shard-aware: trajectory terms are linear means
+    (pmean over 'data' is exact); the load-balancing term needs the GLOBAL
+    mean expert usage before the MSE, so usage is pmean'd first.
+    """
+    cfg = load_model_config(config)
+    body = _make_ep_body(cfg, mesh, dtype=dtype)
+    lcfg = dict(loss_config or {})
+
+    def loss_body(params_and_stats, batch):
+        pred = body(params_and_stats, batch)
+        from automoe_tpu.losses.trajectory import _l1, _trajectory_terms
+
+        t = _trajectory_terms(pred["waypoints"], batch["waypoints"])
+        pred_spd = pred["speed_seq"]
+        if pred_spd.shape[1] == batch["speed"].shape[1]:
+            speed_loss = _l1(pred_spd, batch["speed"])
+        else:
+            speed_loss = _l1(pred["speed"], batch["speed"][:, -1:])
+
+        w = pred["expert_weights"].astype(jnp.float32)
+        # GLOBAL mean usage: pmean over the data shards before the MSE
+        mean_usage = jax.lax.pmean(jnp.mean(w, axis=0), DATA_AXIS)
+        target_usage = jnp.full_like(mean_usage, 1.0 / mean_usage.shape[0])
+        load_balancing = jnp.mean((mean_usage - target_usage) ** 2)
+        entropy = -jnp.mean(jnp.sum(w * jnp.log(w + 1e-8), axis=1))
+
+        local = (
+            lcfg.get("ade_weight", 1.0) * t["ade"]
+            + lcfg.get("fde_weight", 2.0) * t["fde"]
+            + lcfg.get("speed_weight", 0.2) * speed_loss
+            + lcfg.get("smoothness_weight", 0.1) * t["smoothness"]
+            + lcfg.get("entropy_weight", 0.001) * (-entropy)
+        )
+        # linear terms: average the per-shard means; LB is already global
+        return (
+            jax.lax.pmean(local, DATA_AXIS)
+            + lcfg.get("load_balancing_weight", 0.01) * load_balancing
+        )
+
+    sharded_loss = jax.shard_map(
+        loss_body,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(state, batch):
+        def wrapped(params):
+            return sharded_loss(
+                {"params": params, "batch_stats": state.batch_stats}, batch
+            )
+
+        loss, grads = jax.value_and_grad(wrapped)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss}
+
+    return train_step

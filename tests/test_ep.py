@@ -54,3 +54,54 @@ def test_ep_forward_matches_dense(rng):
             np.asarray(ep[key]), np.asarray(dense[key]), rtol=2e-4, atol=1e-5,
             err_msg=key,
         )
+
+
+@pytest.mark.slow
+def test_ep_gating_train_step_matches_dense(rng):
+    """EP train step (grads through switch + shard_map transpose psum)
+    ≡ the dense single-device gating train step, with SGD."""
+    import optax
+
+    from automoe_tpu.parallel.ep import make_ep_gating_train_step
+    from automoe_tpu.train import TrainState, make_train_step
+    from automoe_tpu.train.workloads import gating_workload
+
+    cfg = load_model_config(CFG)
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    wl = gating_workload(CFG, image_size=64, freeze_experts=False)
+    variables = wl.init_variables(jax.random.key(0))
+    tx = optax.sgd(0.05)
+
+    B = 4
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "lidar": jnp.zeros((B, 16, 3), jnp.float32),
+        "speed": jnp.ones((B, 4), jnp.float32),
+        "steering": jnp.zeros((B, 4), jnp.float32),
+        "throttle": jnp.zeros((B, 4), jnp.float32),
+        "brake": jnp.zeros((B, 4), jnp.float32),
+        "waypoints": jnp.asarray(rng.normal(size=(B, 4, 2)).astype(np.float32)),
+    }
+
+    def fresh():
+        return TrainState.create(
+            params=jax.tree.map(jnp.array, variables["params"]), tx=tx,
+            batch_stats=jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+        )
+
+    # dense step (eval-mode loss for comparability: no dropout/BN updates)
+    def dense_loss_fn(params, batch_stats, batch, rng_, train):
+        return wl.loss_fn(params, batch_stats, batch, rng_, False)
+
+    dense_step = make_train_step(dense_loss_fn)
+    s1, m1 = dense_step(fresh(), batch, jax.random.key(1))
+
+    ep_step = make_ep_gating_train_step(CFG, mesh, tx)
+    state_ep = jax.device_put(fresh(), replicate(mesh))
+    s2, m2 = ep_step(state_ep, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
