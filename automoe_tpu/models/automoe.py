@@ -227,3 +227,44 @@ def expert_param_mask(params: Dict, frozen: bool = True) -> Dict:
         k: (not k[0].startswith("expert_")) if frozen else True for k in flat
     }
     return flax.traverse_util.unflatten_dict(mask)
+
+
+def automoe_context_weights(model: AutoMoE, variables, batch):
+    """Expert weights from context only, without running the experts
+    (parity with reference AutoMoE.get_expert_weights, automoe.py:235-238:
+    the gating sees ZERO dummy expert features). Analysis-only."""
+    import jax
+
+    cfg = model.config
+    gating = GatingNetwork(
+        num_experts=len(cfg.experts),
+        context_dim=cfg.context.context_dim,
+        expert_output_dims=[e.output_dim for e in cfg.experts],
+        processed_dim=cfg.gating.processed_dim,
+        hidden_dim=cfg.gating.hidden_dim,
+        temperature=cfg.gating.temperature,
+        use_softmax=cfg.gating.use_softmax,
+        top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
+        noise_scale=0.0,
+        apply_topk_at_eval=(
+            cfg.gating.apply_topk_at_eval if cfg.gating.honor_topk_in_composite
+            else False
+        ),
+        dtype=model.dtype,
+    )
+    from automoe_tpu.models.context import make_context_extractor
+
+    ctx = make_context_extractor(cfg.context, model.dtype)
+    zeros = jnp.zeros((batch["speed"].shape[0], 1), jnp.float32)
+    context_features = ctx.apply(
+        {"params": variables["params"]["context_extractor"]},
+        _last_step(batch["speed"]),
+        _last_step(batch.get("steering", zeros)),
+        _last_step(batch.get("throttle", zeros)),
+        _last_step(batch.get("brake", zeros)),
+    )
+    return gating.apply(
+        {"params": variables["params"]["gating_network"]},
+        context_features,
+        method="context_only_weights",
+    )

@@ -163,3 +163,36 @@ class GatingNetwork(nn.Module):
         ] * self.num_experts
         out = self.__call__(dummy, context, train=False, deterministic=deterministic)
         return out["gate_logits"]
+
+
+class MoEArchitecture(nn.Module):
+    """Generic experts+gating+policy wrapper (parity with the reference's
+    unused alternative `MoEArchitecture`, gating_network.py:209-247): every
+    expert consumes the same input dict, outputs combine via the gating
+    network, and a policy head maps the combined features. Kept for API
+    completeness; AutoMoE is the shipped composite."""
+
+    experts: Sequence[nn.Module]
+    gating_network: GatingNetwork
+    policy_head: nn.Module
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Dict[str, jnp.ndarray],
+        context: jnp.ndarray,
+        *,
+        train: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        expert_outputs = [expert(inputs) for expert in self.experts]
+        gating_output = self.gating_network(
+            expert_outputs, context, train=train, deterministic=deterministic
+        )
+        policy_output = self.policy_head(gating_output["combined_output"])
+        return {
+            "policy_output": policy_output,
+            "expert_weights": gating_output["expert_weights"],
+            "combined_features": gating_output["combined_output"],
+            "expert_outputs": expert_outputs,
+        }

@@ -169,3 +169,41 @@ def test_automoe_missing_lidar_defaults(automoe_and_vars):
     b2 = {k: v for k, v in batch.items() if k != "lidar"}
     out = model.apply(variables, b2)
     assert out["waypoints"].shape == (B, 10, 2)
+
+
+def test_automoe_context_only_weights(automoe_and_vars):
+    """Analysis path: weights from context with zero dummy expert features
+    (reference AutoMoE.get_expert_weights, automoe.py:235-238)."""
+    from automoe_tpu.models.automoe import automoe_context_weights
+
+    model, variables, batch = automoe_and_vars
+    w = automoe_context_weights(model, variables, batch)
+    assert w.shape == (B, 4)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-6)
+
+
+def test_moe_architecture_wrapper(rng):
+    """Generic wrapper parity (reference gating_network.py:209-247)."""
+    import flax.linen as nn
+
+    from automoe_tpu.models.gating import MoEArchitecture
+
+    class TinyExpert(nn.Module):
+        @nn.compact
+        def __call__(self, inputs):
+            return nn.Dense(256)(inputs["x"])
+
+    moe = MoEArchitecture(
+        experts=[TinyExpert(), TinyExpert(), TinyExpert()],
+        gating_network=GatingNetwork(num_experts=3),
+        policy_head=nn.Dense(8),
+    )
+    x = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(B, 64)).astype(np.float32))
+    v = moe.init(jax.random.key(0), {"x": x}, ctx)
+    out = moe.apply(v, {"x": x}, ctx)
+    assert out["policy_output"].shape == (B, 8)
+    np.testing.assert_allclose(
+        np.asarray(out["expert_weights"]).sum(-1), 1.0, atol=1e-6
+    )
+    assert len(out["expert_outputs"]) == 3
