@@ -232,9 +232,8 @@ def expert_param_mask(params: Dict, frozen: bool = True) -> Dict:
 def automoe_context_weights(model: AutoMoE, variables, batch):
     """Expert weights from context only, without running the experts
     (parity with reference AutoMoE.get_expert_weights, automoe.py:235-238:
-    the gating sees ZERO dummy expert features). Analysis-only."""
-    import jax
-
+    zero PROCESSED features injected past the expert processors).
+    Analysis-only. Supports both 'simple' and 'full' context extractors."""
     cfg = model.config
     gating = GatingNetwork(
         num_experts=len(cfg.experts),
@@ -252,17 +251,29 @@ def automoe_context_weights(model: AutoMoE, variables, batch):
         ),
         dtype=model.dtype,
     )
-    from automoe_tpu.models.context import make_context_extractor
-
     ctx = make_context_extractor(cfg.context, model.dtype)
+    ctx_vars = {"params": variables["params"]["context_extractor"]}
     zeros = jnp.zeros((batch["speed"].shape[0], 1), jnp.float32)
-    context_features = ctx.apply(
-        {"params": variables["params"]["context_extractor"]},
-        _last_step(batch["speed"]),
-        _last_step(batch.get("steering", zeros)),
-        _last_step(batch.get("throttle", zeros)),
-        _last_step(batch.get("brake", zeros)),
-    )
+    if cfg.context.type == "simple":
+        context_features = ctx.apply(
+            ctx_vars,
+            _last_step(batch["speed"]),
+            _last_step(batch.get("steering", zeros)),
+            _last_step(batch.get("throttle", zeros)),
+            _last_step(batch.get("brake", zeros)),
+        )
+    else:
+        context_data = {
+            "speed": _last_step(batch["speed"]),
+            "steering": _last_step(batch.get("steering", zeros)),
+            "throttle": _last_step(batch.get("throttle", zeros)),
+            "brake": _last_step(batch.get("brake", zeros)),
+            "hour": batch.get("hour", zeros),
+            "minute": batch.get("minute", zeros),
+            "weather": batch.get("weather", {}),
+            "road": batch.get("road", {}),
+        }
+        context_features = ctx.apply(ctx_vars, context_data)
     return gating.apply(
         {"params": variables["params"]["gating_network"]},
         context_features,

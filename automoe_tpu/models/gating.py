@@ -94,24 +94,36 @@ class GatingNetwork(nn.Module):
     @nn.compact
     def __call__(
         self,
-        expert_outputs: List[jnp.ndarray],
+        expert_outputs: Optional[List[jnp.ndarray]],
         context: jnp.ndarray,
         *,
         train: bool = False,
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        assert len(expert_outputs) == self.num_experts
         ctx_feat = ContextEncoder(self.hidden_dim, self.dtype, name="context_encoder")(
             context, deterministic=deterministic
         )
 
-        processed = [
-            ExpertOutputProcessor(
-                self.processed_dim, self.dtype, name=f"expert_processor_{i}"
-            )(out, deterministic=deterministic)
-            for i, out in enumerate(expert_outputs)
-        ]
-        all_processed = jnp.concatenate(processed, axis=-1)
+        if expert_outputs is None:
+            # Analysis path (get_expert_weights / get_gating_logits,
+            # gating_network.py:177-207): zero PROCESSED features are
+            # injected straight into the gate input — the expert
+            # processors are BYPASSED, not fed zeros (their Dense bias +
+            # LayerNorm would make "processed zeros" nonzero).
+            processed = None
+            all_processed = jnp.zeros(
+                (context.shape[0], self.processed_dim * self.num_experts),
+                self.dtype,
+            )
+        else:
+            assert len(expert_outputs) == self.num_experts
+            processed = [
+                ExpertOutputProcessor(
+                    self.processed_dim, self.dtype, name=f"expert_processor_{i}"
+                )(out, deterministic=deterministic)
+                for i, out in enumerate(expert_outputs)
+            ]
+            all_processed = jnp.concatenate(processed, axis=-1)
 
         gate_in = jnp.concatenate([ctx_feat, all_processed], axis=-1)
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="gate_fc1")(gate_in)
@@ -126,6 +138,9 @@ class GatingNetwork(nn.Module):
             logits_for_weights = _topk_mask(noisy, self.top_k)
 
         gate_weights = self._weights_from_logits(logits_for_weights)
+
+        if processed is None:
+            return {"expert_weights": gate_weights, "gate_logits": gate_logits}
 
         stacked = jnp.stack(processed, axis=1)  # [B, E, processed_dim]
         combined = jnp.einsum("be,bed->bd", gate_weights.astype(stacked.dtype), stacked)
@@ -143,25 +158,19 @@ class GatingNetwork(nn.Module):
     def context_only_weights(
         self, context: jnp.ndarray, *, deterministic: bool = True
     ) -> jnp.ndarray:
-        """Analysis path: expert weights with zero dummy expert features
-        (gating_network.py:177-195). Must be called via .apply(...,
-        method='context_only_weights') on bound variables."""
-        dummy = [
-            jnp.zeros((context.shape[0], self.processed_dim), self.dtype)
-        ] * self.num_experts
-        out = self.__call__(dummy, context, train=False, deterministic=deterministic)
-        # Reference's analysis path skips top-k unless apply_topk_at_eval;
-        # our __call__ with train=False has identical semantics.
+        """Analysis path: expert weights with zero PROCESSED features
+        injected past the expert processors (gating_network.py:177-195).
+        Call via .apply(..., method='context_only_weights') on bound
+        variables. Top-k applies only when apply_topk_at_eval — identical
+        to __call__ with train=False."""
+        out = self.__call__(None, context, train=False, deterministic=deterministic)
         return out["expert_weights"]
 
     def context_only_logits(
         self, context: jnp.ndarray, *, deterministic: bool = True
     ) -> jnp.ndarray:
         """Raw gate logits from context only (gating_network.py:197-207)."""
-        dummy = [
-            jnp.zeros((context.shape[0], self.processed_dim), self.dtype)
-        ] * self.num_experts
-        out = self.__call__(dummy, context, train=False, deterministic=deterministic)
+        out = self.__call__(None, context, train=False, deterministic=deterministic)
         return out["gate_logits"]
 
 

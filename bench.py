@@ -29,10 +29,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-from automoe_tpu.utils import enable_compile_cache
-
-enable_compile_cache()
 import numpy as np
+
+from automoe_tpu.utils import enable_compile_cache
 
 
 def build_chain(batch_size: int, dtype=jnp.bfloat16):
@@ -132,6 +131,7 @@ def host_roundtrip_ms(reps: int = 20) -> float:
 
 
 def main():
+    enable_compile_cache()
     B = 128
     step_ms = device_per_step_ms(B)
     fps = B / (step_ms / 1e3)

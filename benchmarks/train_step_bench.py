@@ -21,12 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from automoe_tpu.train import TrainState, make_optimizer, make_train_step
+from automoe_tpu.train.workloads import bdd_expert_workload
 from automoe_tpu.utils import enable_compile_cache
-
-enable_compile_cache()
-
-from automoe_tpu.train import TrainState, make_optimizer, make_train_step  # noqa: E402
-from automoe_tpu.train.workloads import bdd_expert_workload  # noqa: E402
 
 
 def run(matcher: str, batch_size: int = 32, image_size: int = 256):
@@ -76,9 +73,14 @@ def run(matcher: str, batch_size: int = 32, image_size: int = 256):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--matcher", default="auction",
-                   choices=["auction", "hungarian", "both"])
+    p.add_argument("--matcher", default="auction_pallas",
+                   choices=["auction", "hungarian", "auction_pallas", "both"])
     args = p.parse_args()
-    matchers = ["auction", "hungarian"] if args.matcher == "both" else [args.matcher]
+    enable_compile_cache()
+    matchers = (
+        ["auction_pallas", "auction", "hungarian"]
+        if args.matcher == "both"
+        else [args.matcher]
+    )
     for m in matchers:
         print(json.dumps(run(m)))

@@ -24,7 +24,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 from automoe_tpu.utils import enable_compile_cache  # noqa: E402
 
-enable_compile_cache()
+enable_compile_cache(allow_cpu=True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -182,6 +182,30 @@ def test_automoe_context_only_weights(automoe_and_vars):
     np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-6)
 
 
+def test_automoe_context_only_weights_full_context():
+    """automoe_context_weights must also work with the 'full' context
+    extractor (crashed in r1 — ADVICE)."""
+    from automoe_tpu.models.automoe import automoe_context_weights
+
+    cfg = default_model_config()
+    cfg = dict(cfg) if isinstance(cfg, dict) else cfg
+    # rebuild with the full context extractor
+    from automoe_tpu.configs import load_model_config
+
+    tree = load_model_config(cfg)
+    import dataclasses
+
+    tree = dataclasses.replace(
+        tree, context=dataclasses.replace(tree.context, type="full")
+    )
+    model = create_automoe_model(tree)
+    batch = _synthetic_batch()
+    variables = jit_init(model, jax.random.key(0), batch)
+    w = automoe_context_weights(model, variables, batch)
+    assert w.shape == (B, 4)
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, atol=1e-6)
+
+
 def test_moe_architecture_wrapper(rng):
     """Generic wrapper parity (reference gating_network.py:209-247)."""
     import flax.linen as nn

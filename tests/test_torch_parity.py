@@ -174,6 +174,36 @@ def test_gating_network_parity(rng):
     assert_close(out["gate_logits"], ref["gate_logits"], name="logits")
 
 
+def test_gating_context_only_parity(rng):
+    """Analysis paths (get_expert_weights/get_gating_logits,
+    gating_network.py:177-207): zero PROCESSED features bypass the expert
+    processors. expert_output_dims != processed_dim on purpose — the old
+    feed-zeros-through-processors implementation required them equal and
+    diverged numerically (ADVICE r1)."""
+    import models.gating.gating_network as ref_mod
+
+    torch.manual_seed(7)
+    tmodel = ref_mod.GatingNetwork(
+        num_experts=3, context_dim=64, expert_output_dims=[96] * 3,
+        processed_dim=256, hidden_dim=128, temperature=1.0, use_softmax=True,
+        top_k=2, noise_scale=0.0, apply_topk_at_eval=False,
+    )
+    tmodel.eval()
+    ctx = rng.normal(size=(3, 64)).astype(np.float32)
+    variables = ck.import_gating(to_numpy_state_dict(tmodel))
+    model = GatingNetwork(
+        num_experts=3, expert_output_dims=[96] * 3, processed_dim=256,
+        top_k=2, noise_scale=0.0, apply_topk_at_eval=False,
+    )
+    w = model.apply(variables, jnp.asarray(ctx), method="context_only_weights")
+    logits = model.apply(variables, jnp.asarray(ctx), method="context_only_logits")
+    with torch.no_grad():
+        ref_w = tmodel.get_expert_weights(torch.from_numpy(ctx))
+        ref_l = tmodel.get_gating_logits(torch.from_numpy(ctx))
+    assert_close(w, ref_w, name="context-only weights")
+    assert_close(logits, ref_l, name="context-only logits")
+
+
 def test_context_extractor_parity(rng):
     import models.context.context_features as ref_mod
 
