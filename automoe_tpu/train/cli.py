@@ -220,11 +220,32 @@ def cmd_gating(args):
         else default_model_config()
     )
     loss_cfg = json.loads(args.loss_config) if args.loss_config else {}
-    wl = W.gating_workload(
-        model_cfg, loss_config=loss_cfg, image_size=args.image_size,
-        freeze_experts=not args.unfreeze_experts, dtype=_dtype(args),
-    )
-    mesh = _mesh(args)
+    if args.parallelism == "ep":
+        from automoe_tpu.parallel.ep import ep_gating_workload
+
+        if args.no_mesh:
+            raise SystemExit("--parallelism ep requires a device mesh")
+        if args.multihost:
+            jax.distributed.initialize()
+        n_experts = len(model_cfg.experts)
+        if len(jax.devices()) % n_experts:
+            raise SystemExit(
+                f"--parallelism ep needs device count divisible by "
+                f"{n_experts} experts (have {len(jax.devices())})"
+            )
+        mesh = make_mesh(
+            MeshSpec(data=len(jax.devices()) // n_experts, model=n_experts)
+        )
+        wl = ep_gating_workload(
+            model_cfg, mesh, loss_config=loss_cfg, image_size=args.image_size,
+            freeze_experts=not args.unfreeze_experts, dtype=_dtype(args),
+        )
+    else:
+        wl = W.gating_workload(
+            model_cfg, loss_config=loss_cfg, image_size=args.image_size,
+            freeze_experts=not args.unfreeze_experts, dtype=_dtype(args),
+        )
+        mesh = _mesh(args)
     train, val = _loaders(
         get_carla_sequence_loader, args, horizon=model_cfg.policy.num_waypoints
     )
@@ -326,6 +347,9 @@ def main(argv=None):
                     help="comma-separated, one per expert ('' to skip)")
     pg.add_argument("--loss-config", default=None, help="JSON string")
     pg.add_argument("--unfreeze-experts", action="store_true")
+    pg.add_argument("--parallelism", choices=["dp", "ep"], default="dp",
+                    help="dp: GSPMD data parallel; ep: one expert per "
+                         "'model'-axis device (needs devices %% experts == 0)")
     _add_common(pg)
     pg.set_defaults(fn=cmd_gating)
 

@@ -96,12 +96,135 @@ def test_ep_gating_train_step_matches_dense(rng):
     dense_step = make_train_step(dense_loss_fn)
     s1, m1 = dense_step(fresh(), batch, jax.random.key(1))
 
-    ep_step = make_ep_gating_train_step(CFG, mesh, tx)
+    ep_step = make_ep_gating_train_step(CFG, mesh, tx, train=False)
     state_ep = jax.device_put(fresh(), replicate(mesh))
-    s2, m2 = ep_step(state_ep, shard_batch(batch, mesh))
+    s2, m2 = ep_step(state_ep, shard_batch(batch, mesh), jax.random.key(1))
 
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
+
+
+@pytest.mark.slow
+def test_ep_train_mode_matches_dense(rng):
+    """ACTUAL train mode (BN batch stats + mutable updates; dropout made
+    deterministic for comparability) on a data=1 mesh, where per-shard and
+    global batch statistics coincide: EP loss, updated params, AND updated
+    batch_stats all match the dense train-mode step (ADVICE r1)."""
+    import optax
+
+    from automoe_tpu.losses.trajectory import gating_losses
+    from automoe_tpu.models import create_automoe_model
+    from automoe_tpu.parallel.ep import make_ep_gating_train_step
+    from automoe_tpu.train import TrainState, make_train_step
+
+    cfg = load_model_config(CFG)
+    mesh = make_mesh(MeshSpec(data=1, model=4), devices=jax.devices()[:4])
+    model = create_automoe_model(cfg)
+
+    B = 4
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "lidar": jnp.zeros((B, 16, 3), jnp.float32),
+        "speed": jnp.ones((B, 4), jnp.float32),
+        "steering": jnp.zeros((B, 4), jnp.float32),
+        "throttle": jnp.zeros((B, 4), jnp.float32),
+        "brake": jnp.zeros((B, 4), jnp.float32),
+        "waypoints": jnp.asarray(rng.normal(size=(B, 4, 2)).astype(np.float32)),
+    }
+    variables = jit_init(model, jax.random.key(0), batch)
+    tx = optax.sgd(0.05)
+
+    def fresh():
+        return TrainState.create(
+            params=jax.tree.map(jnp.array, variables["params"]), tx=tx,
+            batch_stats=jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+        )
+
+    # dense train-mode step, dropout disabled (deterministic=True) but BN in
+    # batch-stat mode with mutable updates — same regime as the EP body
+    def dense_loss_fn(params, batch_stats, batch_, rng_, train):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch_, train=True, deterministic=True,
+            mutable=["batch_stats"], rngs={"gating": rng_},
+        )
+        res = gating_losses(out, batch_["waypoints"], batch_["speed"])
+        new_stats = updates.get("batch_stats", batch_stats)
+        return res["total_loss"], ({}, new_stats)
+
+    dense_step = make_train_step(dense_loss_fn)
+    s1, m1 = dense_step(fresh(), batch, jax.random.key(1))
+
+    ep_step = make_ep_gating_train_step(
+        CFG, mesh, tx, train=True, dropout_deterministic=True
+    )
+    state_ep = jax.device_put(fresh(), replicate(mesh))
+    s2, m2 = ep_step(state_ep, shard_batch(batch, mesh), jax.random.key(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+    # BN running stats updated identically — and actually changed
+    l1, l2 = jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+    l0 = jax.tree.leaves(fresh().batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(z)) for a, z in zip(l1, l0)
+    ), "dense train step did not update any batch_stats"
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+
+
+@pytest.mark.slow
+def test_ep_train_mode_sharded_smoke(rng):
+    """Train mode on the full 2x4 mesh: dropout live, BN stats pmean'd
+    across data shards — loss finite, stats move, dropout actually fires
+    (two different rngs give different losses)."""
+    import optax
+
+    from automoe_tpu.parallel.ep import make_ep_gating_train_step
+    from automoe_tpu.train import TrainState
+    from automoe_tpu.train.workloads import gating_workload
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    wl = gating_workload(CFG, image_size=64, freeze_experts=False)
+    variables = wl.init_variables(jax.random.key(0))
+    tx = optax.sgd(0.05)
+
+    B = 4
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "lidar": jnp.zeros((B, 16, 3), jnp.float32),
+        "speed": jnp.ones((B, 4), jnp.float32),
+        "steering": jnp.zeros((B, 4), jnp.float32),
+        "throttle": jnp.zeros((B, 4), jnp.float32),
+        "brake": jnp.zeros((B, 4), jnp.float32),
+        "waypoints": jnp.asarray(rng.normal(size=(B, 4, 2)).astype(np.float32)),
+    }
+
+    def fresh():
+        return TrainState.create(
+            params=jax.tree.map(jnp.array, variables["params"]), tx=tx,
+            batch_stats=jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+        )
+
+    ep_step = make_ep_gating_train_step(CFG, mesh, tx, train=True)
+    sb = shard_batch(batch, mesh)
+    s1, m1 = ep_step(jax.device_put(fresh(), replicate(mesh)), sb, jax.random.key(1))
+    s2, m2 = ep_step(jax.device_put(fresh(), replicate(mesh)), sb, jax.random.key(2))
+    assert np.isfinite(float(m1["loss"]))
+    # dropout is live: different rng → different loss
+    assert float(m1["loss"]) != float(m2["loss"])
+    # BN stats moved
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(z))
+        for a, z in zip(jax.tree.leaves(s1.batch_stats),
+                        jax.tree.leaves(fresh().batch_stats))
+    )
+    assert changed, "EP train step did not update any batch_stats"
