@@ -49,11 +49,26 @@ class ShardedSampler:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _per_shard(self) -> int:
+        if self.drop_last:
+            return self.num_samples // self.num_shards
+        return -(-self.num_samples // self.num_shards)
+
     def __iter__(self) -> Iterator[List[int]]:
         idx = np.arange(self.num_samples)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        # Equalize shards FIRST (torch DistributedSampler semantics):
+        # truncate (drop_last) or wrap-pad so every shard sees exactly the
+        # same count — SPMD trainers need every process to execute the same
+        # number of jitted collective steps per epoch.
+        per_shard = self._per_shard()
+        total = per_shard * self.num_shards
+        if total <= len(idx):
+            idx = idx[:total]
+        else:
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
         idx = idx[self.shard_index :: self.num_shards]
         n_full = len(idx) // self.batch_size
         for b in range(n_full):
@@ -65,10 +80,10 @@ class ShardedSampler:
             yield pad.tolist()
 
     def __len__(self) -> int:
-        n = (self.num_samples + self.num_shards - 1) // self.num_shards
+        n = self._per_shard()
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return -(-n // self.batch_size)
 
 
 class DataLoader:

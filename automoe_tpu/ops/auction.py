@@ -135,4 +135,9 @@ def auction_match(
     query_idx = _auction_solve(
         benefit, valid, eps_fraction=eps_fraction, max_iters=max_iters,
     )
+    # If the phase exhausted max_iters with targets still unassigned
+    # (person_obj == -1), DROP those targets (valid=False → the loss's
+    # scrap row) instead of silently clipping them onto query 0, which
+    # would fabricate duplicate/arbitrary matches (ADVICE r1).
+    valid = valid & (query_idx >= 0)
     return jnp.clip(query_idx, 0).astype(jnp.int32), valid

@@ -144,4 +144,7 @@ def auction_match_pallas(
     )
     eps = spread / 100.0 / max(N, 1)
     qi = auction_solve_pallas(benefit, valid, eps, max_iters=max_iters)
+    # non-converged targets (qi == -1) are dropped, not clipped onto
+    # query 0 (same policy as auction_match — see ops/auction.py)
+    valid = valid & (qi >= 0)
     return jnp.clip(qi, 0).astype(jnp.int32), valid

@@ -68,6 +68,21 @@ def test_auction_loss_parity_with_hungarian(rng):
     )
 
 
+def test_auction_nonconvergence_drops_targets(rng):
+    """Exhausting max_iters with unassigned targets must mark them invalid
+    (loss scrap row), never silently map them all onto query 0 (ADVICE
+    r1). max_iters=0 forces the worst case: nothing assigned."""
+    logits = jnp.asarray(rng.normal(size=(2, 8, 10)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.1, 0.9, (2, 8, 4)).astype(np.float32))
+    tb = jnp.asarray(rng.uniform(0.1, 0.9, (2, 4, 4)).astype(np.float32))
+    tl = jnp.asarray(rng.integers(0, 10, (2, 4)).astype(np.int32))
+    qi, valid = auction_match(logits, boxes, tb, tl, max_iters=0)
+    assert not bool(np.asarray(valid).any()), "unconverged targets kept valid"
+    # sane iteration budget → everything converges and stays valid
+    qi, valid = auction_match(logits, boxes, tb, tl)
+    assert bool(np.asarray(valid).all())
+
+
 def test_auction_empty_targets(rng):
     logits = jnp.asarray(rng.normal(size=(2, 8, 10)).astype(np.float32))
     boxes = jnp.asarray(rng.uniform(0.1, 0.9, (2, 8, 4)).astype(np.float32))

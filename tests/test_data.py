@@ -259,3 +259,28 @@ def test_sharded_sampler_partition():
     # different epoch → different order
     s0b.set_epoch(4)
     assert [i for b in s0b for i in b] != i0
+
+
+@pytest.mark.parametrize("drop_last", [True, False])
+@pytest.mark.parametrize("n,shards,bs", [
+    (127, 8, 16),  # ADVICE r1: used to give shard0 1 batch, shard7 0
+    (100, 4, 5),
+    (10, 8, 4),
+    (33, 3, 8),
+    (7, 2, 7),
+])
+def test_sharded_sampler_equal_batch_counts(n, shards, bs, drop_last):
+    """Every shard yields exactly the same number of batches (and exactly
+    __len__ of them) — multi-host SPMD requires every process to execute
+    the same number of collective steps per epoch."""
+    counts, lens = [], []
+    for s in range(shards):
+        smp = ShardedSampler(n, shuffle=True, seed=1, num_shards=shards,
+                             shard_index=s, batch_size=bs, drop_last=drop_last)
+        smp.set_epoch(2)
+        batches = list(smp)
+        assert all(len(b) == bs for b in batches), "non-static batch shape"
+        counts.append(len(batches))
+        lens.append(len(smp))
+    assert len(set(counts)) == 1, f"unequal batch counts {counts}"
+    assert counts == lens, f"__len__ {lens} != yielded {counts}"
