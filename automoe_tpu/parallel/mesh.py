@@ -63,12 +63,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch axis.
 
     Batch dim must divide by the data-axis size (fixed-shape padded batches
-    guarantee this).
+    guarantee this). Multi-host: each process passes its LOCAL shard (the
+    ShardedSampler slice) and the pieces assemble into one global array via
+    make_array_from_process_local_data — the jax equivalent of every DDP
+    rank consuming its DistributedSampler slice.
     """
     sharding = batch_sharding(mesh)
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)

@@ -25,6 +25,23 @@ from automoe_tpu.utils.metrics import MetricsLogger
 from automoe_tpu.utils.profiling import StepTimer
 
 
+def _allreduce_val_sums(sums: Dict[str, float], n: int):
+    """Exact cross-process sum of per-metric sums and the batch count —
+    the TPU-side equivalent of the reference's dist.all_reduce of
+    [val_loss_sum, count] (train_gating_network.py:153-156). Every process
+    then derives the SAME averages, so the is-best decision can't diverge
+    across hosts. No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return sums, n
+    from jax.experimental import multihost_utils
+
+    keys = sorted(sums)
+    local = np.asarray([sums[k] for k in keys] + [float(n)], np.float64)
+    gathered = multihost_utils.process_allgather(local)  # [P, K+1]
+    total = np.asarray(gathered).sum(axis=0)
+    return dict(zip(keys, total[:-1])), int(total[-1])
+
+
 @dataclass
 class TrainConfig:
     epochs: int = 1
@@ -79,6 +96,15 @@ class Trainer:
         )
         self.train_step = make_train_step(workload.loss_fn, mesh=mesh)
         self.eval_step = make_eval_step(workload.loss_fn, mesh=mesh)
+        self.metrics_step = (
+            jax.jit(
+                lambda state, batch: workload.metrics_fn(
+                    state.params, state.batch_stats, batch
+                )
+            )
+            if workload.metrics_fn is not None
+            else None
+        )
         self.ckpt = CheckpointManager(
             config.ckpt_root, workload.name, config.run_name,
             save_freq=config.save_freq,
@@ -130,14 +156,26 @@ class Trainer:
         return avg
 
     def validate(self, epoch: int) -> float:
-        total, n = 0.0, 0
+        """Validation epoch: loss + every scalar loss metric + optional
+        per-batch task metrics (avg-IoU/recall, pixel-acc/mIoU — reference
+        train_bdd100k_ddp.py:196-375), averaged over batches and summed
+        exactly across processes before the best-checkpoint decision
+        (reference all-reduces [loss, count], :377-397)."""
+        sums: Dict[str, float] = {}
+        n = 0
         for batch in self.val_loader:
-            metrics = self.eval_step(self.state, self._device_batch(batch), self.rng)
-            total += float(metrics["loss"])
+            db = self._device_batch(batch)
+            metrics = self.eval_step(self.state, db, self.rng)
+            if self.metrics_step is not None:
+                metrics = {**metrics, **self.metrics_step(self.state, db)}
+            for k, v in metrics.items():
+                if getattr(v, "ndim", 1) == 0 or isinstance(v, (int, float)):
+                    sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        avg = total / max(1, n)
-        self.logger.log(int(self.state.step), {"loss": avg}, prefix="val")
-        return avg
+        sums, n = _allreduce_val_sums(sums, n)
+        avg = {k: v / max(1, n) for k, v in sums.items()}
+        self.logger.log(int(self.state.step), avg, prefix="val")
+        return avg.get("loss", float("inf"))
 
     def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:
         best = float("inf")

@@ -42,6 +42,11 @@ class Workload:
     trainable_mask_fn: Optional[Callable] = None  # params -> mask pytree
     # builds the model.__call__ positional args from a batch dict:
     init_args: Callable = lambda b: (b["image"],)
+    # optional per-batch task metrics for validation epochs (reference
+    # computes avg-IoU/recall@0.5 and pixel-acc/mIoU during training,
+    # train_bdd100k_ddp.py:196-375): (params, batch_stats, batch) ->
+    # {name: scalar}. Jitted by the Trainer.
+    metrics_fn: Optional[Callable] = None
 
     def init_variables(self, rng, batch=None):
         batch = batch if batch is not None else self.example_batch
@@ -128,6 +133,28 @@ def bdd_expert_workload(
             "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
             "labels": jnp.full((2, box_cap), -1, jnp.int32),
         }
+
+        def metrics_fn(params, batch_stats, batch):
+            """avg matched IoU + recall@0.5 per val batch
+            (train_bdd100k_ddp.py:266-294: batch value = mean over samples
+            WITH matches/GT, 0.0 when none)."""
+            from automoe_tpu.evals.detection import detection_eval_batch
+
+            out, _ = _apply(
+                model, params, batch_stats, (batch["image"],), None, False
+            )
+            m = detection_eval_batch(
+                out["class_logits"], out["bbox_deltas"],
+                batch["bboxes"], batch["labels"],
+                num_classes=C, bbox_loss_weight=bbox_loss_weight,
+            )
+            has = m["has_match"]
+            denom = jnp.maximum(jnp.sum(has), 1)
+            return {
+                "avg_iou": jnp.sum(jnp.where(has, m["sample_iou"], 0.0)) / denom,
+                "recall_0.5": jnp.sum(jnp.where(has, m["sample_recall"], 0.0))
+                / denom,
+            }
     else:
         model = (
             BDDSegmentationExpert(num_classes=C, dtype=dtype)
@@ -147,7 +174,21 @@ def bdd_expert_workload(
             "mask": jnp.zeros((2, image_size, image_size), jnp.int32),
         }
 
-    return Workload(name=f"bdd_{task}", model=model, loss_fn=loss_fn, example_batch=example)
+        def metrics_fn(params, batch_stats, batch):
+            """pixel accuracy + mean IoU per val batch
+            (train_bdd100k_ddp.py:297-334)."""
+            from automoe_tpu.evals.segmentation import seg_eval_batch
+
+            logits, _ = _apply(
+                model, params, batch_stats, (batch["image"],), None, False
+            )
+            m = seg_eval_batch(logits, batch["mask"], num_classes=C)
+            return {"pixel_acc": m["pixel_acc"], "mean_iou": m["mean_iou"]}
+
+    return Workload(
+        name=f"bdd_{task}", model=model, loss_fn=loss_fn,
+        example_batch=example, metrics_fn=metrics_fn,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,11 @@ def test_trainer_fit_and_artifacts(tmp_path):
     lines = [json.loads(l) for l in jsonl.read_text().splitlines()]
     assert any("train/loss" in l for l in lines)
     assert any("val/loss" in l for l in lines)
+    # per-epoch task metrics (reference train_bdd100k_ddp.py:368-375)
+    val_lines = [l for l in lines if "val/pixel_acc" in l]
+    assert val_lines, "validation task metrics missing from metrics.jsonl"
+    assert all(0.0 <= l["val/pixel_acc"] <= 1.0 for l in val_lines)
+    assert all(0.0 <= l["val/mean_iou"] <= 1.0 for l in val_lines)
 
     # resume 'full' restores step + optimizer position
     tr2 = _make_trainer(tmp_path, epochs=3, resume="full", resume_from="last")
@@ -76,3 +81,64 @@ def test_trainer_fit_and_artifacts(tmp_path):
     p_restored = jax.tree.leaves(tr3.state.params)[0]
     p_saved = jax.tree.leaves(tr2.state.params)[0]
     assert p_restored.shape == p_saved.shape
+
+
+def test_detection_val_task_metrics(tmp_path, rng):
+    """Detection validation logs avg_iou + recall@0.5 per epoch."""
+    from automoe_tpu.train.workloads import bdd_expert_workload as _wl
+
+    class Det:
+        def __init__(self, n=8):
+            self.samples = [
+                {
+                    "image": rng.normal(size=(64, 64, 3)).astype(np.float32),
+                    "bboxes": np.concatenate(
+                        [rng.uniform(0.1, 0.4, (3, 2)), rng.uniform(0.5, 0.9, (3, 2))],
+                        axis=1,
+                    ).astype(np.float32),
+                    "labels": rng.integers(0, 10, (3,)).astype(np.int32),
+                }
+                for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    wl = _wl("detection", image_size=64, box_cap=3)
+    train = DataLoader(Det(), batch_size=4, num_workers=1, shuffle=True)
+    val = DataLoader(Det(), batch_size=4, num_workers=1, shuffle=False)
+    cfg = TrainConfig(
+        epochs=1, run_name="d", ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"), log_every=1,
+    )
+    Trainer(wl, train, val, cfg).fit()
+    jsonl = tmp_path / "runs" / "bdd_detection_d" / "metrics.jsonl"
+    lines = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    val_lines = [l for l in lines if "val/avg_iou" in l]
+    assert val_lines and all("val/recall_0.5" in l for l in val_lines)
+
+
+def test_allreduce_val_sums_multiprocess(monkeypatch):
+    """Simulated 2-process aggregation: sums and counts add exactly, so
+    every process derives the same val averages (reference
+    train_gating_network.py:153-156)."""
+    from automoe_tpu.train import loop as L
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    class FakeMHU:
+        @staticmethod
+        def process_allgather(local):
+            # keys are sorted: [avg_iou_sum, loss_sum, n]
+            other = np.asarray([2.0, 10.0, 4.0])
+            return np.stack([np.asarray(local), other])
+
+    monkeypatch.setattr(
+        "jax.experimental.multihost_utils", FakeMHU
+    )
+    sums, n = L._allreduce_val_sums({"loss": 6.0, "avg_iou": 1.0}, 4)
+    assert n == 8
+    assert sums == {"avg_iou": 3.0, "loss": 16.0}
