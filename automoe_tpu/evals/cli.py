@@ -160,6 +160,23 @@ def cmd_gating(args):
     return res
 
 
+def cmd_training_curves(args):
+    """Training curves from a run's metrics.jsonl (reference
+    plot_training_curves, eval/evaluate_gating_network.py:135-167)."""
+    from pathlib import Path
+
+    from automoe_tpu.evals.plots import plot_training_curves
+
+    run_dir = Path(args.run_dir)
+    out = args.out or str(run_dir / "training_curves.png")
+    tags = args.tags.split(",") if args.tags else None
+    plotted = plot_training_curves(
+        str(run_dir / "metrics.jsonl"), out, tags=tags
+    )
+    print(f"Training curves plot saved to {out}")
+    return {"plot": out, "tags": plotted}
+
+
 def cmd_visualize(args):
     """GT-vs-prediction overlays + per-image analysis table (counterpart of
     eval/visualize_bdd100k_detection.py + analyze_bdd100k_detection_batch.py)."""
@@ -258,6 +275,14 @@ def main(argv=None):
     pg.add_argument("--use-logits", action="store_true")
     common(pg)
     pg.set_defaults(fn=cmd_gating)
+
+    pt = sub.add_parser("training-curves")
+    pt.add_argument("--run-dir", required=True,
+                    help="training run dir containing metrics.jsonl")
+    pt.add_argument("--out", default=None, help="output PNG path")
+    pt.add_argument("--tags", default=None,
+                    help="comma-separated scalar tags (default: first 4)")
+    pt.set_defaults(fn=cmd_training_curves)
 
     pv = sub.add_parser("visualize-detection")
     pv.add_argument("--source", choices=["bdd", "carla"], default="bdd")

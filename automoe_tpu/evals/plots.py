@@ -40,6 +40,56 @@ def plot_expert_usage(
     plt.close(fig)
 
 
+def plot_training_curves(
+    metrics_jsonl: str,
+    save_path: str,
+    tags: Optional[Sequence[str]] = None,
+    max_panels: int = 4,
+) -> List[str]:
+    """Panel grid of training curves from a run's metrics.jsonl (parity
+    with the reference's TensorBoard-scraping plot_training_curves,
+    eval/evaluate_gating_network.py:135-167 — our runs log JSONL + TB, and
+    JSONL is the durable source). Plots the first `max_panels` scalar tags
+    (or the given `tags`) against step. Returns the tags plotted."""
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series: dict = {}
+    for line in Path(metrics_jsonl).read_text().splitlines():
+        rec = json.loads(line)
+        step = rec.get("step", 0)
+        for k, v in rec.items():
+            if k in ("step", "time") or not isinstance(v, (int, float)):
+                continue
+            series.setdefault(k, []).append((step, v))
+    chosen = list(tags) if tags else list(series)[:max_panels]
+    chosen = [t for t in chosen if t in series][:max_panels]
+    if not chosen:
+        raise ValueError(f"no scalar series found in {metrics_jsonl}")
+
+    rows = (len(chosen) + 1) // 2
+    fig, axes = plt.subplots(rows, 2, figsize=(12, 4 * rows), squeeze=False)
+    flat = axes.flatten()
+    for ax in flat[len(chosen):]:
+        ax.axis("off")
+    for ax, tag in zip(flat, chosen):
+        pts = series[tag]
+        ax.plot([p[0] for p in pts], [p[1] for p in pts])
+        ax.set_title(tag)
+        ax.set_xlabel("Step")
+        ax.set_ylabel("Value")
+        ax.grid(True)
+    fig.tight_layout()
+    Path(save_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(save_path, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    return chosen
+
+
 def plot_correlation_heatmap(
     matrix: np.ndarray,
     context_names: Sequence[str],

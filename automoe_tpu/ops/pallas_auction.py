@@ -143,7 +143,12 @@ def auction_match_pallas(
         jnp.max(benefit, axis=(1, 2)) - jnp.min(benefit, axis=(1, 2)), 1e-3
     )
     eps = spread / 100.0 / max(N, 1)
-    qi = auction_solve_pallas(benefit, valid, eps, max_iters=max_iters)
+    # trace-time platform check: the Mosaic kernel needs a TPU; interpret
+    # mode keeps the same numerics on CPU (tests, debugging)
+    qi = auction_solve_pallas(
+        benefit, valid, eps, max_iters=max_iters,
+        interpret=jax.default_backend() != "tpu",
+    )
     # non-converged targets (qi == -1) are dropped, not clipped onto
     # query 0 (same policy as auction_match — see ops/auction.py)
     valid = valid & (qi >= 0)

@@ -45,9 +45,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
-    p.add_argument("--matcher", default="auction",
+    p.add_argument("--matcher", default=None,
                    choices=["auction", "auction_pallas", "hungarian"],
-                   help="set-matching solver for detection-style losses")
+                   help="set-matching solver for detection-style losses "
+                        "(default: auction_pallas on TPU, auction elsewhere)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (params stay fp32)")
     p.add_argument("--no-mesh", action="store_true",

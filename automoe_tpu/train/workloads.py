@@ -75,6 +75,14 @@ def _apply(model, params, batch_stats, args, rng, train, needs_rngs=("dropout",)
     return out, batch_stats
 
 
+def default_matcher() -> str:
+    """TPU: the Pallas auction kernel (0.38 ms vs 12.4 ms exact Hungarian
+    at B=32/Q=64/N=48; train-step sweep-validated vs Hungarian — see
+    benchmarks/BENCHMARKS.md). Elsewhere: the jnp auction (the Pallas
+    kernel would run in slow interpret mode)."""
+    return "auction_pallas" if jax.default_backend() == "tpu" else "auction"
+
+
 def _det_kw(model) -> Dict[str, Any]:
     # modules with dropout take `deterministic`; train=True → active dropout
     import inspect
@@ -97,7 +105,7 @@ def bdd_expert_workload(
     cost_class: float = 1.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
-    matcher: str = "auction",
+    matcher: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
@@ -105,6 +113,7 @@ def bdd_expert_workload(
     workload over a different data source."""
     defaults = {"detection": 10, "segmentation": 19, "drivable": 3}
     C = num_classes if num_classes is not None else defaults[task]
+    matcher = matcher or default_matcher()
 
     if task == "detection":
         model = BDDDetectionExpert(num_classes=C, dtype=dtype)
@@ -206,9 +215,10 @@ def nuscenes_workload(
     lidar_cap: int = 2048,
     box_cap: int = 64,
     bbox_loss_weight: float = 5.0,
-    matcher: str = "auction",
+    matcher: Optional[str] = None,
     dtype=jnp.float32,
 ) -> Workload:
+    matcher = matcher or default_matcher()
     model = NuScenesExpert(
         num_queries=num_queries,
         fusion=fusion,

@@ -141,3 +141,35 @@ def test_plots_write_files(tmp_path, rng):
     draw_detections(img, np.array([[5, 5, 30, 30]]), pred_xyxy,
                     str(tmp_path / "det.jpg"), scores)
     assert (tmp_path / "det.jpg").stat().st_size > 0
+
+
+def test_training_curves_plot(tmp_path):
+    """PNG from metrics.jsonl via the plot fn AND the evals CLI (parity
+    with reference plot_training_curves,
+    eval/evaluate_gating_network.py:135-167)."""
+    import json
+
+    from automoe_tpu.evals.cli import main as evals_main
+    from automoe_tpu.evals.plots import plot_training_curves
+
+    run = tmp_path / "runs" / "gating_x"
+    run.mkdir(parents=True)
+    with open(run / "metrics.jsonl", "w") as fh:
+        for s in range(10):
+            fh.write(json.dumps({
+                "step": s, "time": 0.0,
+                "train/loss": 3.0 / (s + 1), "train/ade": 1.0 / (s + 1),
+                "val/loss": 3.1 / (s + 1), "val/ade": 1.1 / (s + 1),
+            }) + "\n")
+    tags = plot_training_curves(
+        str(run / "metrics.jsonl"), str(tmp_path / "curves.png")
+    )
+    assert (tmp_path / "curves.png").stat().st_size > 0
+    assert tags == ["train/loss", "train/ade", "val/loss", "val/ade"]
+
+    out = evals_main([
+        "training-curves", "--run-dir", str(run),
+        "--tags", "train/loss,val/loss",
+    ])
+    assert (run / "training_curves.png").stat().st_size > 0
+    assert out["tags"] == ["train/loss", "val/loss"]

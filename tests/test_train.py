@@ -211,3 +211,18 @@ def test_dp_mesh_matches_single_device(rng):
         # sharded partial-sum gradients reduce in a different order than the
         # single-device pass; tolerance covers that fp32 noise only
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+
+    # BN semantics pin (docs/DESIGN.md §3): under GSPMD jit the batch is a
+    # single logical array, so BN batch_stats are GLOBAL-batch statistics —
+    # identical to the single-device run (sync-BN), NOT torch DDP's
+    # per-replica running stats. Guards against silent regression if the
+    # step/mesh plumbing ever switches to per-shard stats.
+    bs1, bs2 = jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+    bs0 = jax.tree.leaves(variables.get("batch_stats", {}))
+    assert bs1 and any(
+        not np.allclose(np.asarray(a), np.asarray(z)) for a, z in zip(bs1, bs0)
+    ), "train step did not update batch_stats"
+    for a, b in zip(bs1, bs2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
