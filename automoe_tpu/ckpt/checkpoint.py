@@ -112,14 +112,16 @@ class CheckpointManager:
 
 def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore only {params, batch_stats} from a checkpoint dir (for eval /
-    expert-loading into AutoMoE)."""
-    ckptr = ocp.StandardCheckpointer()
+    expert-loading into AutoMoE). The checkpoint also stores
+    step/opt_state/epoch/best_val_loss, which this template deliberately
+    omits — PyTreeRestore(partial_restore=True) restores the subset."""
     host_t = {
         "params": _to_host(template["params"]),
         "batch_stats": _to_host(template.get("batch_stats", {})),
     }
-    full_t = dict(host_t)
-    restored = ckptr.restore(
-        Path(path).resolve(), full_t, partial_restore=True
-    )
-    return restored
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            Path(path).resolve(),
+            args=ocp.args.PyTreeRestore(item=host_t, partial_restore=True),
+        )
+    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}

@@ -33,6 +33,15 @@ def _stage_args(stage: List[str], args) -> List[str]:
             "--runs-root", args.runs_root]
     if args.no_mesh:
         out += ["--no-mesh"]
+    if args.image_size:
+        out += ["--image-size", str(args.image_size)]
+    if args.num_workers is not None:
+        out += ["--num-workers", str(args.num_workers)]
+    # stage-specific knobs (only the subcommands that accept them)
+    if stage[0] == "policy" and args.horizon:
+        out += ["--horizon", str(args.horizon)]
+    if stage[0] == "gating" and args.model_config:
+        out += ["--model-config", args.model_config]
     return out
 
 
@@ -86,6 +95,13 @@ def main(argv=None):
     p.add_argument("--runs-root", default="runs")
     p.add_argument("--log-dir", default="logs")
     p.add_argument("--no-mesh", action="store_true")
+    p.add_argument("--image-size", type=int,
+                   default=int(os.environ.get("IMAGE_SIZE", 0)) or None)
+    p.add_argument("--num-workers", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=None,
+                   help="forwarded to policy stages")
+    p.add_argument("--model-config", default=None,
+                   help="forwarded to gating stages")
     p.add_argument("--keep-going", action="store_true",
                    help="continue past failed stages (default: fail fast)")
     args = p.parse_args(argv)

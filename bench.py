@@ -130,6 +130,25 @@ def host_roundtrip_ms(reps: int = 20) -> float:
     return float(np.percentile(times, 50) * 1e3)
 
 
+def _flops_per_frame(batch_size: int) -> float:
+    """Analytic FLOPs per frame from XLA's compiled cost analysis of the
+    single-step program (preprocess + full AutoMoE forward)."""
+    _, single, variables = build_chain(batch_size)
+    frames = jnp.zeros((batch_size, 600, 800, 3), jnp.uint8)
+    speed = jnp.ones((batch_size, 1), jnp.float32)
+    try:
+        cost = single.lower(variables, frames, speed).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) / batch_size
+    except Exception:
+        return 0.0
+
+
+# v5e peak dense bf16 matmul throughput (per chip)
+_V5E_PEAK_FLOPS = 197e12
+
+
 def main():
     enable_compile_cache()
     B = 128
@@ -137,6 +156,8 @@ def main():
     fps = B / (step_ms / 1e3)
     lat_ms = device_per_step_ms(1, k_lo=4, k_hi=36, reps=4)
     rt_ms = host_roundtrip_ms()
+    flops_frame = _flops_per_frame(B)
+    mfu = flops_frame * fps / _V5E_PEAK_FLOPS if flops_frame else 0.0
     baseline_fps = 5000.0  # BASELINE.json north star (v5e target)
     result = {
         "metric": "automoe_e2e_preprocess_forward_throughput",
@@ -147,6 +168,8 @@ def main():
             "device_step_ms_bs128": round(step_ms, 3),
             "device_latency_ms_bs1": round(lat_ms, 3),
             "host_roundtrip_ms_bs1": round(rt_ms, 3),
+            "flops_per_frame_g": round(flops_frame / 1e9, 3),
+            "mfu": round(mfu, 4),
             "latency_target_ms": 10.0,
             "device": str(jax.devices()[0]),
         },

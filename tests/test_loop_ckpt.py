@@ -121,6 +121,54 @@ def test_detection_val_task_metrics(tmp_path, rng):
     assert val_lines and all("val/recall_0.5" in l for l in val_lines)
 
 
+def test_load_expert_checkpoints_orbax(tmp_path):
+    """An orbax expert checkpoint written by the trainer loads into the
+    AutoMoE composite (the gating CLI --expert-ckpts path; the restore is
+    partial — ckpt also stores step/opt_state)."""
+    from automoe_tpu.ckpt.compose import load_expert_checkpoints
+    from automoe_tpu.configs import load_model_config
+    from automoe_tpu.models import create_automoe_model
+    from automoe_tpu.utils import jit_init
+
+    tr = _make_trainer(tmp_path, epochs=1)
+    tr.fit()
+    ckpt = tmp_path / "ckpt" / "bdd_drivable" / "t" / "best"
+
+    cfg = load_model_config({
+        "experts": [
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    })
+    model = create_automoe_model(cfg)
+    batch = {
+        "image": np.zeros((1, 32, 32, 3), np.float32),
+        "speed": np.zeros((1, 1), np.float32),
+        "steering": np.zeros((1, 1), np.float32),
+        "throttle": np.zeros((1, 1), np.float32),
+        "brake": np.zeros((1, 1), np.float32),
+    }
+    import jax.numpy as jnp
+
+    variables = jit_init(
+        model, jax.random.key(0), {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    loaded = load_expert_checkpoints(variables, cfg, [str(ckpt), ""])
+    trained_leaf = jax.tree.leaves(tr.state.params)[0]
+    loaded_leaf = jax.tree.leaves(loaded["params"]["expert_0"])[0]
+    np.testing.assert_allclose(np.asarray(loaded_leaf), np.asarray(trained_leaf))
+    # untouched expert stays at init
+    for a, b in zip(
+        jax.tree.leaves(loaded["params"]["expert_1"]),
+        jax.tree.leaves(variables["params"]["expert_1"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_allreduce_val_sums_multiprocess(monkeypatch):
     """Simulated 2-process aggregation: sums and counts add exactly, so
     every process derives the same val averages (reference

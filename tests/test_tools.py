@@ -54,21 +54,19 @@ def test_preprocess_bdd_detection_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(b["bboxes"][0, 0], [1, 2, 20, 25])
 
 
-def test_preprocess_carla_run_roundtrip(tmp_path, rng):
+def make_raw_carla(raw, rng, runs=("run_001", "run_002"), n_frames=6):
+    """Collector-output-format (S1) fixture: images/seg/annots/lidar +
+    vehicle_log.json + config.json per run."""
     from PIL import Image
 
-    from automoe_tpu.data import get_carla_sequence_loader
-    from automoe_tpu.tools.preprocess_carla import main as preprocess_main
-
-    raw = tmp_path / "raw"
-    for r in ("run_001", "run_002"):
+    for r in runs:
         run = raw / r
         (run / "images" / "front").mkdir(parents=True)
         (run / "segmentation" / "front").mkdir(parents=True)
         (run / "annots" / "front").mkdir(parents=True)
         (run / "lidar").mkdir(parents=True)
         frames = []
-        for t in range(6):
+        for t in range(n_frames):
             fname = f"{t:06d}.png"
             Image.fromarray(
                 rng.integers(0, 255, (600, 800, 3), dtype=np.uint8)
@@ -108,6 +106,14 @@ def test_preprocess_carla_run_roundtrip(tmp_path, rng):
                         "sun_altitude_angle": 45.0},
         }))
         (run / "vehicle_log.json").write_text(json.dumps(frames))
+
+
+def test_preprocess_carla_run_roundtrip(tmp_path, rng):
+    from automoe_tpu.data import get_carla_sequence_loader
+    from automoe_tpu.tools.preprocess_carla import main as preprocess_main
+
+    raw = tmp_path / "raw"
+    make_raw_carla(raw, rng)
 
     pre = tmp_path / "pre"
     preprocess_main(["--raw_dir", str(raw), "--out_dir", str(pre)])
