@@ -22,6 +22,28 @@ def test_mean_of_resize_weights_exact(rng):
                                atol=1e-6)
 
 
+def test_resize_contraction_orders_equal(rng):
+    """resize_bilinear picks its einsum order by intermediate size (HBM-
+    bound at camera shapes); both orders must agree, and match
+    jax.image.resize numerics."""
+    x = jnp.asarray(rng.normal(size=(2, 60, 80, 3)).astype(np.float32))
+    # 60x80 -> 32x32 picks W-first (oh*W=2560 > H*ow=1920); 80x60 input
+    # with the same output picks H-first — exercise both.
+    for shape in ((2, 60, 80, 3), (2, 80, 60, 3)):
+        xi = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        out = resize_bilinear(xi, 32, 32, antialias=True)
+        ref = jax.image.resize(xi, (shape[0], 32, 32, 3), "bilinear",
+                               antialias=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+    # upsample path (expert decoders) unchanged
+    up = resize_bilinear(x[:, :8, :8, :], 64, 64, antialias=False)
+    ref = jax.image.resize(x[:, :8, :8, :], (2, 64, 64, 3), "bilinear")
+    np.testing.assert_allclose(np.asarray(up), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
 @pytest.mark.slow
 def test_fast_gating_pool_equivalence(rng):
     cfg = default_model_config()
