@@ -1,0 +1,9 @@
+from automoe_tpu.serving.quant import (  # noqa: F401
+    calibrate_automoe,
+    fold_resnet,
+    make_quant_forward,
+    quantize_automoe,
+    quantize_folded,
+    resnet_float_forward,
+    resnet_quant_forward,
+)

@@ -1,0 +1,346 @@
+"""Post-training int8 quantization for the serving path.
+
+The headline inference step is ResNet-conv bound (~95% of the 19 ms
+B=128 step, benchmarks/BENCHMARKS.md) and the v5e MXU runs int8 matmuls
+at 2x the bf16 rate (394 vs 197 TOPS; measured 2.4x on a representative
+3x3 conv). This module converts the four expert trunks to int8 serving
+form, a transform the reference (fp32 CUDA, inference/run_automoe.py)
+has no counterpart for:
+
+  * BatchNorm is FOLDED into the preceding conv (exact at inference —
+    BN is affine given running stats), leaving conv + bias + relu;
+  * weights are int8 with PER-OUTPUT-CHANNEL scales (symmetric);
+  * activations are int8 with per-tensor scales from abs-max calibration
+    over sample batches;
+  * convs accumulate in int32 on the MXU and dequantize into the bf16
+    epilogue (bias/relu/residual adds stay bf16).
+
+Heads, extractors, gating, and policy stay bf16 — they are <5% of the
+step. Training is untouched: quantization is a pure serving-time
+transform of trained (or imported) AutoMoE variables, mirroring how
+`models/fused_experts.py` treats fusion.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (conv name, bn name) pairs in execution order; the graph itself lives in
+# _resnet_graph. Mirrors models/resnet.py::ResNet18Backbone exactly.
+_STAGES = [(1, 64, 1), (2, 128, 2), (3, 256, 2), (4, 512, 2)]
+
+
+def _bn_affine(bn_params: Dict, bn_stats: Dict, eps: float = 1e-5):
+    inv = 1.0 / np.sqrt(np.asarray(bn_stats["var"], np.float64) + eps)
+    g = np.asarray(bn_params["scale"], np.float64) * inv
+    b = np.asarray(bn_params["bias"], np.float64) - np.asarray(
+        bn_stats["mean"], np.float64
+    ) * g
+    return g, b
+
+
+def fold_resnet(params: Dict, batch_stats: Dict) -> Dict[str, Dict[str, np.ndarray]]:
+    """Fold every BatchNorm of a ResNet18Backbone into its preceding conv.
+
+    Returns {conv_name: {"w": [H,W,I,O] f32, "b": [O] f32}} with names
+    'conv1', 'layer{s}_{b}/conv1|conv2|downsample_conv'.
+    """
+
+    def fold(conv_p, bn_p, bn_s):
+        g, b = _bn_affine(bn_p, bn_s)
+        w = np.asarray(conv_p["kernel"], np.float64) * g  # scale out channels
+        return {"w": w.astype(np.float32), "b": b.astype(np.float32)}
+
+    out = {"conv1": fold(params["conv1"], params["bn1"], batch_stats["bn1"])}
+    for stage, _, _ in _STAGES:
+        for blk in (0, 1):
+            n = f"layer{stage}_{blk}"
+            p, s = params[n], batch_stats[n]
+            out[f"{n}/conv1"] = fold(p["conv1"], p["bn1"], s["bn1"])
+            out[f"{n}/conv2"] = fold(p["conv2"], p["bn2"], s["bn2"])
+            if "downsample_conv" in p:
+                out[f"{n}/downsample_conv"] = fold(
+                    p["downsample_conv"], p["downsample_bn"], s["downsample_bn"]
+                )
+    return out
+
+
+def quantize_folded(folded: Dict) -> Dict[str, Dict[str, np.ndarray]]:
+    """int8 symmetric per-output-channel weights from a folded tree."""
+    q = {}
+    for name, p in folded.items():
+        w = p["w"]
+        amax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)  # [O]
+        sw = (amax / 127.0).astype(np.float32)
+        wq = np.clip(np.round(w / sw), -127, 127).astype(np.int8)
+        q[name] = {"wq": wq, "sw": sw, "b": p["b"]}
+    return q
+
+
+def _resnet_graph(conv: Callable, x: jnp.ndarray) -> jnp.ndarray:
+    """Shared ResNet-18 trunk graph over an abstract conv(name, x, stride,
+    pad) -> y (bias already added). Mirrors models/resnet.py."""
+    x = jax.nn.relu(conv("conv1", x, 2, 3))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for stage, filters, stride in _STAGES:
+        for blk in (0, 1):
+            n = f"layer{stage}_{blk}"
+            s = stride if blk == 0 else 1
+            y = jax.nn.relu(conv(f"{n}/conv1", x, s, 1))
+            y = conv(f"{n}/conv2", y, 1, 1)
+            if x.shape[-1] != filters or s != 1:
+                r = conv(f"{n}/downsample_conv", x, s, 0)
+            else:
+                r = x
+            x = jax.nn.relu(y + r)
+    return x
+
+
+def _conv(x, w, stride, pad, preferred=None):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=dn, preferred_element_type=preferred,
+    )
+
+
+def resnet_float_forward(folded: Dict, x: jnp.ndarray, dtype=jnp.float32,
+                         collect: Optional[Dict] = None) -> jnp.ndarray:
+    """BN-folded float trunk (== ResNet18Backbone.apply in eval mode).
+    With `collect`, records each conv input's abs-max into it (traced
+    values — return them from the surrounding jit)."""
+
+    def conv(name, x, stride, pad):
+        if collect is not None:
+            collect[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        w = jnp.asarray(folded[name]["w"], dtype)
+        b = jnp.asarray(folded[name]["b"], dtype)
+        return _conv(x.astype(dtype), w, stride, pad) + b
+
+    return _resnet_graph(conv, x.astype(dtype))
+
+
+def resnet_quant_forward(qpack: Dict, scales: Dict[str, float], x: jnp.ndarray,
+                         dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8 trunk: per-tensor activation quant (calibrated scales) +
+    per-channel weight quant; int32 MXU accumulation; bf16 epilogue."""
+
+    def conv(name, x, stride, pad):
+        # activation scales are HOST floats (compile-time constants);
+        # weights may be traced jit arguments or numpy literals
+        sx = float(max(scales[name], 1e-12)) / 127.0
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * np.float32(1.0 / sx)), -127, 127
+        ).astype(jnp.int8)
+        p = qpack[name]
+        y = _conv(xq, jnp.asarray(p["wq"]), stride, pad, preferred=jnp.int32)
+        scale = jnp.asarray(p["sw"], jnp.float32) * np.float32(sx)  # [O]
+        return (
+            y.astype(jnp.float32) * scale + jnp.asarray(p["b"], jnp.float32)
+        ).astype(dtype)
+
+    return _resnet_graph(conv, x)
+
+
+# ---------------------------------------------------------------------------
+# AutoMoE-level assembly
+# ---------------------------------------------------------------------------
+
+def _expert_backbone_name(ecfg) -> str:
+    return "image_backbone" if ecfg.type == "nuscenes" else "backbone"
+
+
+def _dense(p, x):
+    return x @ jnp.asarray(p["kernel"], x.dtype) + jnp.asarray(p["bias"], x.dtype)
+
+
+def calibrate_automoe(variables, config, batches: Sequence[Dict],
+                      dtype=jnp.bfloat16) -> List[Dict[str, float]]:
+    """Per-expert per-conv activation abs-max over calibration batches.
+
+    `batches` are AutoMoE input dicts (only 'image' is consumed; images
+    must already be preprocessed/normalized like training inputs).
+    """
+    from automoe_tpu.configs import load_model_config
+
+    cfg = load_model_config(config)
+    folded = []
+    for i, ecfg in enumerate(cfg.experts):
+        bb = _expert_backbone_name(ecfg)
+        folded.append(fold_resnet(
+            variables["params"][f"expert_{i}"][bb],
+            variables["batch_stats"][f"expert_{i}"][bb],
+        ))
+
+    @jax.jit
+    def amaxes(image):
+        out = []
+        for f in folded:
+            c: Dict[str, jnp.ndarray] = {}
+            resnet_float_forward(f, image, dtype=dtype, collect=c)
+            out.append(c)
+        return out
+
+    acc: List[Dict[str, float]] = [dict() for _ in folded]
+    for batch in batches:
+        per_expert = amaxes(jnp.asarray(batch["image"], dtype))
+        for i, c in enumerate(per_expert):
+            for k, v in c.items():
+                acc[i][k] = max(acc[i].get(k, 0.0), float(v))
+    return acc
+
+
+def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
+                     dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Build the int8 serving pack: folded+quantized trunk weights and
+    calibrated activation scales per expert."""
+    from automoe_tpu.configs import load_model_config
+
+    cfg = load_model_config(config)
+    scales = calibrate_automoe(variables, cfg, calib_batches, dtype=dtype)
+    experts = []
+    for i, ecfg in enumerate(cfg.experts):
+        bb = _expert_backbone_name(ecfg)
+        folded = fold_resnet(
+            variables["params"][f"expert_{i}"][bb],
+            variables["batch_stats"][f"expert_{i}"][bb],
+        )
+        experts.append(quantize_folded(folded))
+    return {"experts": experts, "scales": scales}
+
+
+def make_quant_forward(config, scales: List[Dict[str, float]],
+                       dtype=jnp.bfloat16):
+    """fn(variables, qexperts, batch) -> AutoMoE serving outputs with int8
+    expert trunks (heads/gating/policy bf16, fast gating pool — the same
+    regime as bench.py's serving model). nuScenes expert must be
+    image-only (lidar branch stays on the standard path).
+
+    `scales` (qpack["scales"]) are host floats baked in at trace time;
+    `qexperts` (qpack["experts"]) is a pytree that can cross the jit
+    boundary as arguments."""
+    from automoe_tpu.configs import load_model_config
+    from automoe_tpu.models.automoe import _last_step
+    from automoe_tpu.models.context import make_context_extractor
+    from automoe_tpu.models.extractors import make_extractor
+    from automoe_tpu.models.gating import GatingNetwork
+    from automoe_tpu.models.policy import TrajectoryPolicy
+    from automoe_tpu.ops.resize import mean_of_resize_weights
+
+    cfg = load_model_config(config)
+    for e in cfg.experts:
+        if e.type == "nuscenes" and e.use_lidar:
+            raise NotImplementedError("quant serving path is image-only nuScenes")
+
+    ctx_extractor = make_context_extractor(cfg.context, dtype)
+    gating = GatingNetwork(
+        num_experts=len(cfg.experts),
+        context_dim=cfg.context.context_dim,
+        expert_output_dims=[e.output_dim for e in cfg.experts],
+        processed_dim=cfg.gating.processed_dim,
+        hidden_dim=cfg.gating.hidden_dim,
+        temperature=cfg.gating.temperature,
+        use_softmax=cfg.gating.use_softmax,
+        top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
+        noise_scale=0.0,
+        apply_topk_at_eval=(
+            cfg.gating.apply_topk_at_eval if cfg.gating.honor_topk_in_composite
+            else False
+        ),
+        dtype=dtype,
+    )
+    policy = TrajectoryPolicy(
+        horizon=cfg.policy.num_waypoints,
+        context_dim=cfg.gating.processed_dim,
+        backbone_dim=cfg.policy.backbone_dim,
+        dtype=dtype,
+    )
+
+    def forward(variables, qexperts, batch):
+        image = batch["image"].astype(dtype)
+        B = image.shape[0]
+        zeros = jnp.zeros((B, 1), dtype)
+        params = variables["params"]
+
+        context_features = ctx_extractor.apply(
+            {"params": params["context_extractor"]},
+            _last_step(batch["speed"]) if "speed" in batch else zeros,
+            _last_step(batch["steering"]) if "steering" in batch else zeros,
+            _last_step(batch["throttle"]) if "throttle" in batch else zeros,
+            _last_step(batch["brake"]) if "brake" in batch else zeros,
+        )
+
+        low_h, low_w = image.shape[1] // 32, image.shape[2] // 32
+        pool_uv = mean_of_resize_weights(
+            low_h, low_w, image.shape[1], image.shape[2], False
+        )
+        expert_features = []
+        for i, ecfg in enumerate(cfg.experts):
+            feats = resnet_quant_forward(
+                qexperts[i], scales[i], image, dtype=dtype
+            )  # [B, h, w, 512]
+            ep = params[f"expert_{i}"]
+            if ecfg.type == "detection":
+                h = jax.nn.relu(
+                    _conv(feats, jnp.asarray(ep["head"]["conv1"]["kernel"], dtype),
+                          1, 1) + jnp.asarray(ep["head"]["conv1"]["bias"], dtype)
+                )
+                out = _conv(h, jnp.asarray(ep["head"]["conv2"]["kernel"], dtype),
+                            1, 0) + jnp.asarray(ep["head"]["conv2"]["bias"], dtype)
+                expert_out = {
+                    "class_logits": out[..., : ecfg.num_classes],
+                    "bbox_deltas": out[..., ecfg.num_classes:],
+                }
+            elif ecfg.type in ("segmentation", "drivable"):
+                h = jax.nn.relu(
+                    _conv(feats, jnp.asarray(ep["decoder"]["conv1"]["kernel"], dtype),
+                          1, 1) + jnp.asarray(ep["decoder"]["conv1"]["bias"], dtype)
+                )
+                expert_out = _conv(
+                    h, jnp.asarray(ep["decoder"]["conv2"]["kernel"], dtype), 1, 0
+                ) + jnp.asarray(ep["decoder"]["conv2"]["bias"], dtype)
+            else:  # nuscenes, image-only
+                img_feat = jnp.mean(feats, axis=(1, 2))  # include_pool
+                img_feat = _dense(ep["image_projection"], img_feat)
+                q = jnp.asarray(ep["query_embed"], dtype)
+                x = img_feat[:, None, :] + q[None, :, :]
+                x = jax.nn.relu(_dense(ep["decoder_fc1"], x))
+                x = jax.nn.relu(_dense(ep["decoder_fc2"], x))
+                expert_out = {
+                    "class_logits": _dense(ep["class_head"], x),
+                    "bbox_preds": _dense(ep["bbox_head"], x),
+                }
+            extractor = make_extractor(
+                ecfg, dtype,
+                pool_uv=(pool_uv if ecfg.type in ("segmentation", "drivable")
+                         else None),
+            )
+            expert_features.append(
+                extractor.apply({"params": params[f"extractor_{i}"]}, expert_out)
+            )
+
+        gating_out = gating.apply(
+            {"params": params["gating_network"]},
+            expert_features, context_features,
+        )
+        pvars = {"params": params["policy_head"]}
+        if variables.get("batch_stats", {}).get("policy_head"):
+            pvars["batch_stats"] = variables["batch_stats"]["policy_head"]
+        policy_out = policy.apply(pvars, image, gating_out["combined_output"])
+        speed_seq = policy_out["speed"]
+        return {
+            "waypoints": policy_out["waypoints"],
+            "speed": speed_seq[:, -1:],
+            "speed_seq": speed_seq,
+            "expert_weights": gating_out["expert_weights"],
+            "combined_features": gating_out["combined_output"],
+            "gate_logits": gating_out["gate_logits"],
+        }
+
+    return forward

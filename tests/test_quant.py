@@ -1,0 +1,114 @@
+"""int8 PTQ serving path: BN-fold exactness + quantization fidelity."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from automoe_tpu.models.resnet import ResNet18Backbone
+from automoe_tpu.serving import (
+    fold_resnet,
+    make_quant_forward,
+    quantize_automoe,
+    quantize_folded,
+    resnet_float_forward,
+    resnet_quant_forward,
+)
+from automoe_tpu.utils import jit_init
+
+B, S = 2, 64
+
+
+@pytest.fixture(scope="module")
+def backbone_and_vars(rng):
+    model = ResNet18Backbone()
+    x = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32))
+    variables = jit_init(model, jax.random.key(0), x)
+    # make running stats non-trivial (fresh init has mean=0/var=1, which
+    # would hide folding bugs): one train-mode pass updates them
+    _, upd = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": upd["batch_stats"]}
+    return model, variables, x
+
+
+def test_bn_fold_exact(backbone_and_vars):
+    """Folded-conv float trunk == flax backbone in eval mode (BN folding
+    is exact given running stats)."""
+    model, variables, x = backbone_and_vars
+    ref = model.apply(variables, x)
+    folded = fold_resnet(variables["params"], variables["batch_stats"])
+    out = resnet_float_forward(folded, x, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_quant_trunk_fidelity(backbone_and_vars):
+    """int8 trunk tracks the float trunk: high cosine similarity and
+    bounded relative error on the pooled features."""
+    model, variables, x = backbone_and_vars
+    folded = fold_resnet(variables["params"], variables["batch_stats"])
+
+    collect = {}
+    ref = resnet_float_forward(folded, x, dtype=jnp.float32, collect=collect)
+    scales = {k: float(v) for k, v in collect.items()}
+    q = quantize_folded(folded)
+    out = resnet_quant_forward(q, scales, x, dtype=jnp.float32)
+
+    a = np.asarray(jnp.mean(ref, axis=(1, 2))).reshape(-1)
+    b = np.asarray(jnp.mean(out, axis=(1, 2))).reshape(-1)
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.995, f"cosine {cos}"
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-12)
+    assert rel < 0.08, f"relative error {rel}"
+
+
+@pytest.mark.slow
+def test_quant_automoe_outputs_track_bf16(rng):
+    """Full quantized serving forward tracks the standard model's control
+    outputs (waypoints / expert weights) on random weights."""
+    from automoe_tpu.models import create_automoe_model
+
+    cfg = {
+        "experts": [
+            {"type": "detection", "num_classes": 10},
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0, "noise_scale": 0.0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    }
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32)),
+        "speed": jnp.ones((B, 1), jnp.float32),
+        "steering": jnp.zeros((B, 1), jnp.float32),
+        "throttle": jnp.zeros((B, 1), jnp.float32),
+        "brake": jnp.zeros((B, 1), jnp.float32),
+    }
+    model = create_automoe_model(cfg, fast_gating_pool=True)
+    init_batch = {**batch, "lidar": jnp.zeros((B, 16, 3), jnp.float32)}
+    variables = jit_init(model, jax.random.key(0), init_batch)
+    # non-trivial BN running stats
+    _, upd = model.apply(
+        variables, init_batch, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.key(1), "gating": jax.random.key(2)},
+        deterministic=True,
+    )
+    variables = {"params": variables["params"], "batch_stats": upd["batch_stats"]}
+
+    ref = model.apply(variables, init_batch)
+    qpack = quantize_automoe(variables, cfg, [batch], dtype=jnp.float32)
+    fwd = make_quant_forward(cfg, qpack["scales"], dtype=jnp.float32)
+    out = fwd(variables, qpack["experts"], batch)
+
+    assert out["waypoints"].shape == ref["waypoints"].shape
+    np.testing.assert_allclose(
+        np.asarray(out["expert_weights"]), np.asarray(ref["expert_weights"]),
+        atol=0.05,
+    )
+    wp_ref = np.asarray(ref["waypoints"]).reshape(-1)
+    wp_q = np.asarray(out["waypoints"]).reshape(-1)
+    rel = np.abs(wp_ref - wp_q).mean() / (np.abs(wp_ref).mean() + 1e-12)
+    assert rel < 0.1, f"waypoint relative error {rel}"
