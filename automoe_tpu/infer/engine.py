@@ -33,7 +33,14 @@ class InferenceEngine:
         model_hw: Tuple[int, int] = (256, 256),
         dtype=jnp.bfloat16,
         seed: int = 0,
+        quantize: bool = False,
+        calib_frames: Optional[np.ndarray] = None,
     ):
+        """quantize=True swaps the expert trunks to the int8 PTQ serving
+        path (automoe_tpu/serving/quant.py; ~1.34x throughput on v5e,
+        fidelity bounds in tests/test_quant.py). `calib_frames` are raw
+        uint8 camera frames [N,H,W,3] for activation calibration; when
+        omitted, mid-gray frames are used (prefer real frames)."""
         self.config = load_model_config(model_config)
         # the engine returns control outputs only → the exact-equivalent
         # fast gating pool (no full-res seg map materialisation)
@@ -51,30 +58,6 @@ class InferenceEngine:
         # kept as numpy: traced into the program as literals
         self._mats = resize_weights(*camera_hw, *model_hw, antialias=True)
 
-        def step(variables, mats, frame_u8, speed_kmh):
-            x = frame_u8.astype(dtype) / 255.0
-            x = resize_bilinear(x, *model_hw, antialias=True, mats=mats)
-            image = (x - mean) / std
-            B = image.shape[0]
-            zeros = jnp.zeros((B, 1), dtype)
-            batch = {
-                "image": image,
-                "speed": speed_kmh.astype(dtype),
-                # controls unavailable at inference → zeros (run_automoe.py:43-50)
-                "steering": zeros,
-                "throttle": zeros,
-                "brake": zeros,
-            }
-            out = self.model.apply(variables, batch)
-            return {
-                "waypoints": out["waypoints"].astype(jnp.float32),
-                "speed": out["speed"].astype(jnp.float32),
-                "speed_seq": out["speed_seq"].astype(jnp.float32),
-                "expert_weights": out["expert_weights"].astype(jnp.float32),
-            }
-
-        self._step = jax.jit(step)
-
         if variables is None:
             from automoe_tpu.utils import jit_init
 
@@ -88,6 +71,54 @@ class InferenceEngine:
             }
             variables = jit_init(self.model, jax.random.key(seed), init_batch)
         self.variables = variables
+
+        def _preprocess(frame_u8, mats):
+            x = frame_u8.astype(dtype) / 255.0
+            x = resize_bilinear(x, *model_hw, antialias=True, mats=mats)
+            return (x - mean) / std
+
+        self._qexperts = None
+        quant_fwd = None
+        if quantize:
+            from automoe_tpu.serving import make_quant_forward, quantize_automoe
+
+            if calib_frames is None:
+                calib_frames = np.full((2, *camera_hw, 3), 128, np.uint8)
+            calib_img = jax.jit(_preprocess)(
+                jnp.asarray(calib_frames), self._mats
+            )
+            qpack = quantize_automoe(
+                variables, self.config, [{"image": calib_img}], dtype=dtype
+            )
+            quant_fwd = make_quant_forward(
+                self.config, qpack["scales"], dtype=dtype
+            )
+            self._qexperts = jax.tree.map(jnp.asarray, qpack["experts"])
+
+        def step(variables, qexperts, mats, frame_u8, speed_kmh):
+            image = _preprocess(frame_u8, mats)
+            B = image.shape[0]
+            zeros = jnp.zeros((B, 1), dtype)
+            batch = {
+                "image": image,
+                "speed": speed_kmh.astype(dtype),
+                # controls unavailable at inference → zeros (run_automoe.py:43-50)
+                "steering": zeros,
+                "throttle": zeros,
+                "brake": zeros,
+            }
+            if quant_fwd is not None:
+                out = quant_fwd(variables, qexperts, batch)
+            else:
+                out = self.model.apply(variables, batch)
+            return {
+                "waypoints": out["waypoints"].astype(jnp.float32),
+                "speed": out["speed"].astype(jnp.float32),
+                "speed_seq": out["speed_seq"].astype(jnp.float32),
+                "expert_weights": out["expert_weights"].astype(jnp.float32),
+            }
+
+        self._step = jax.jit(step)
 
     @classmethod
     def from_torch_checkpoint(cls, model_config, ckpt_path: str, **kw):
@@ -109,5 +140,8 @@ class InferenceEngine:
         if frame_u8.ndim == 3:
             frame_u8 = frame_u8[None]
         speed = jnp.asarray([[last_speed_kmh]], jnp.float32)
-        out = self._step(self.variables, self._mats, jnp.asarray(frame_u8), speed)
+        out = self._step(
+            self.variables, self._qexperts, self._mats,
+            jnp.asarray(frame_u8), speed,
+        )
         return {k: np.asarray(v) for k, v in out.items()}

@@ -64,6 +64,35 @@ def test_quant_trunk_fidelity(backbone_and_vars):
 
 
 @pytest.mark.slow
+def test_quant_engine_closed_loop(tmp_path, rng):
+    """InferenceEngine(quantize=True) drives the mock sim end-to-end."""
+    from automoe_tpu.infer.engine import InferenceEngine
+    from automoe_tpu.infer.run_automoe import run_closed_loop
+    from automoe_tpu.infer.sim import MockSim
+
+    cfg = {
+        "experts": [
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0, "noise_scale": 0.0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    }
+    calib = rng.integers(0, 255, (2, 120, 160, 3), dtype=np.uint8)
+    engine = InferenceEngine(
+        cfg, camera_hw=(120, 160), model_hw=(64, 64), dtype=jnp.float32,
+        quantize=True, calib_frames=calib,
+    )
+    sim = MockSim(fixed_dt=0.05, camera_hw=(120, 160))
+    logs = run_closed_loop(engine, sim, steps=6, out_dir=str(tmp_path))
+    assert len(logs) == 6
+    for l in logs:
+        assert np.isfinite([l["steer"], l["throttle"], l["brake"]]).all()
+
+
+@pytest.mark.slow
 def test_quant_automoe_outputs_track_bf16(rng):
     """Full quantized serving forward tracks the standard model's control
     outputs (waypoints / expert weights) on random weights."""
