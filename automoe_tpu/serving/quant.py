@@ -68,10 +68,23 @@ def fold_resnet(params: Dict, batch_stats: Dict) -> Dict[str, Dict[str, np.ndarr
     return out
 
 
-def quantize_folded(folded: Dict) -> Dict[str, Dict[str, np.ndarray]]:
-    """int8 symmetric per-output-channel weights from a folded tree."""
+#: convs kept in float by default: the C=3 7x7 stem gains nothing from
+#: int8 (padding-dominated, quantize overhead on the biggest activation)
+#: and is the most accuracy-sensitive layer — keeping it float measured
+#: FASTER (2.90 vs 3.30 ms/trunk at B=128) and tighter.
+DEFAULT_FLOAT_CONVS = frozenset({"conv1"})
+
+
+def quantize_folded(
+    folded: Dict, float_convs: frozenset = DEFAULT_FLOAT_CONVS
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """int8 symmetric per-output-channel weights from a folded tree;
+    convs named in `float_convs` keep their folded float weights."""
     q = {}
     for name, p in folded.items():
+        if name in float_convs:
+            q[name] = {"w": p["w"], "b": p["b"]}
+            continue
         w = p["w"]
         amax = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12)  # [O]
         sw = (amax / 127.0).astype(np.float32)
@@ -132,13 +145,18 @@ def resnet_quant_forward(qpack: Dict, scales: Dict[str, float], x: jnp.ndarray,
     per-channel weight quant; int32 MXU accumulation; bf16 epilogue."""
 
     def conv(name, x, stride, pad):
+        p = qpack[name]
+        if "wq" not in p:  # float conv (e.g. the C=3 stem)
+            return (
+                _conv(x.astype(dtype), jnp.asarray(p["w"], dtype), stride, pad)
+                + jnp.asarray(p["b"], dtype)
+            )
         # activation scales are HOST floats (compile-time constants);
         # weights may be traced jit arguments or numpy literals
         sx = float(max(scales[name], 1e-12)) / 127.0
         xq = jnp.clip(
             jnp.round(x.astype(jnp.float32) * np.float32(1.0 / sx)), -127, 127
         ).astype(jnp.int8)
-        p = qpack[name]
         y = _conv(xq, jnp.asarray(p["wq"]), stride, pad, preferred=jnp.int32)
         scale = jnp.asarray(p["sw"], jnp.float32) * np.float32(sx)  # [O]
         return (
@@ -197,7 +215,9 @@ def calibrate_automoe(variables, config, batches: Sequence[Dict],
 
 
 def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
-                     dtype=jnp.bfloat16) -> Dict[str, Any]:
+                     dtype=jnp.bfloat16,
+                     float_convs: frozenset = DEFAULT_FLOAT_CONVS
+                     ) -> Dict[str, Any]:
     """Build the int8 serving pack: folded+quantized trunk weights and
     calibrated activation scales per expert."""
     from automoe_tpu.configs import load_model_config
@@ -211,7 +231,7 @@ def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
             variables["params"][f"expert_{i}"][bb],
             variables["batch_stats"][f"expert_{i}"][bb],
         )
-        experts.append(quantize_folded(folded))
+        experts.append(quantize_folded(folded, float_convs))
     return {"experts": experts, "scales": scales}
 
 

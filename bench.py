@@ -171,10 +171,10 @@ def main():
             "flops_per_frame_g": round(flops_frame / 1e9, 3),
             "mfu": round(mfu, 4),
             # opt-in int8 PTQ serving path (automoe_tpu/serving/quant.py):
-            # measured 14.44 ms / 8,864 fps at B=128 on v5e (1.34x this
+            # measured 14.13 ms / 9,060 fps at B=128 on v5e (1.37x this
             # bf16 headline; fidelity-tested). Reproduce:
             # python benchmarks/quant_bench.py
-            "int8_serving_fps_measured": 8863.6,
+            "int8_serving_fps_measured": 9059.5,
             "latency_target_ms": 10.0,
             "device": str(jax.devices()[0]),
         },
