@@ -63,6 +63,30 @@ def test_quant_trunk_fidelity(backbone_and_vars):
     assert rel < 0.08, f"relative error {rel}"
 
 
+def test_quant_trunk_gspmd_batch_sharded(backbone_and_vars):
+    """The int8 trunk jits over a data-sharded batch on the 8-device mesh
+    (serving scale-out path) and matches the single-device result."""
+    from automoe_tpu.parallel import MeshSpec, batch_sharding, make_mesh
+
+    model, variables, x = backbone_and_vars
+    folded = fold_resnet(variables["params"], variables["batch_stats"])
+    collect = {}
+    resnet_float_forward(folded, x, dtype=jnp.float32, collect=collect)
+    scales = {k: float(v) for k, v in collect.items()}
+    q = quantize_folded(folded)
+
+    x8 = jnp.tile(x, (4, 1, 1, 1))  # B=8 across 8 devices
+    ref = resnet_quant_forward(q, scales, x8, dtype=jnp.float32)
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    xs = jax.device_put(x8, batch_sharding(mesh))
+    out = jax.jit(
+        lambda xi: resnet_quant_forward(q, scales, xi, dtype=jnp.float32)
+    )(xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.slow
 def test_quant_engine_closed_loop(tmp_path, rng):
     """InferenceEngine(quantize=True) drives the mock sim end-to-end."""
