@@ -68,7 +68,9 @@ class ShardedSampler:
         if total <= len(idx):
             idx = idx[:total]
         else:
-            idx = np.concatenate([idx, idx[: total - len(idx)]])
+            # cyclic repeat (padding may exceed the dataset size when
+            # num_shards ≫ num_samples — torch DistributedSampler semantics)
+            idx = np.resize(idx, total)
         idx = idx[self.shard_index :: self.num_shards]
         n_full = len(idx) // self.batch_size
         for b in range(n_full):

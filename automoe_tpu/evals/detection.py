@@ -23,6 +23,39 @@ from automoe_tpu.losses.detection import detection_set_loss
 from automoe_tpu.ops.boxes import box_convert, box_iou
 
 
+def matched_iou_recall(pred_boxes, gt_boxes_xyxy, query_idx, valid):
+    """Per-sample matched IoU and recall@0.5 from an existing assignment.
+
+    pred_boxes [B,Q,4] cxcywh, gt_boxes_xyxy [B,N,4], query_idx/valid
+    [B,N]. Returns (sample_iou [B], sample_recall [B], has_match [B]) —
+    the reference's val metrics (train_bdd100k_ddp.py:266-294)."""
+    matched_pred = jnp.take_along_axis(
+        pred_boxes, query_idx[..., None], axis=1
+    )  # [B,N,4]
+    gt_cxcywh = box_convert(gt_boxes_xyxy, "xyxy", "cxcywh")
+    pair_iou = jax.vmap(
+        lambda p, g: jnp.diagonal(
+            box_iou(box_convert(p, "cxcywh", "xyxy"),
+                    box_convert(g, "cxcywh", "xyxy"))
+        )
+    )(matched_pred, gt_cxcywh)  # [B,N]
+    n_valid = jnp.sum(valid, axis=1)
+    has_match = n_valid > 0
+    sample_iou = jnp.sum(jnp.where(valid, pair_iou, 0.0), axis=1) / jnp.maximum(
+        n_valid, 1
+    )
+
+    def recall_one(pb, gb, v):
+        mat = box_iou(
+            box_convert(pb, "cxcywh", "xyxy"), box_convert(gb, "xyxy", "xyxy")
+        )  # [Q,N]
+        covered = jnp.max(mat, axis=0) >= 0.5
+        return jnp.sum(jnp.where(v, covered, False)) / jnp.maximum(jnp.sum(v), 1)
+
+    sample_recall = jax.vmap(recall_one)(pred_boxes, gt_boxes_xyxy, valid)
+    return sample_iou, sample_recall, has_match
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes", "bbox_loss_weight"))
 def detection_eval_batch(
     class_logits: jnp.ndarray,
@@ -45,33 +78,9 @@ def detection_eval_batch(
         bbox_reduction="sum",  # eval quirk
     )
     pred_boxes = bbox_deltas.reshape(B, Q, 4)
-    query_idx, valid = res["query_idx"], res["valid"]  # [B,N]
-
-    # matched-pair IoU per target slot
-    matched_pred = jnp.take_along_axis(
-        pred_boxes, query_idx[..., None], axis=1
-    )  # [B,N,4]
-    gt_cxcywh = box_convert(gt_boxes_xyxy, "xyxy", "cxcywh")
-    pair_iou = jax.vmap(
-        lambda p, g: jnp.diagonal(
-            box_iou(box_convert(p, "cxcywh", "xyxy"), box_convert(g, "cxcywh", "xyxy"))
-        )
-    )(matched_pred, gt_cxcywh)  # [B,N]
-    n_valid = jnp.sum(valid, axis=1)  # [B]
-    has_match = n_valid > 0
-    sample_iou = jnp.sum(jnp.where(valid, pair_iou, 0.0), axis=1) / jnp.maximum(
-        n_valid, 1
+    sample_iou, sample_recall, has_match = matched_iou_recall(
+        pred_boxes, gt_boxes_xyxy, res["query_idx"], res["valid"]
     )
-
-    # recall@0.5 over ALL queries vs GT
-    def recall_one(pb, gb, v):
-        mat = box_iou(
-            box_convert(pb, "cxcywh", "xyxy"), box_convert(gb, "xyxy", "xyxy")
-        )  # [Q,N]
-        covered = jnp.max(mat, axis=0) >= 0.5  # [N]
-        return jnp.sum(jnp.where(v, covered, False)) / jnp.maximum(jnp.sum(v), 1)
-
-    sample_recall = jax.vmap(recall_one)(pred_boxes, gt_boxes_xyxy, valid)
 
     return {
         "loss": res["loss"],

@@ -17,11 +17,10 @@ import numpy as np
 from automoe_tpu.losses.segmentation import segmentation_loss
 
 
-@functools.partial(jax.jit, static_argnames=("num_classes",))
-def seg_eval_batch(
-    logits: jnp.ndarray, masks: jnp.ndarray, *, num_classes: int
-) -> Dict[str, jnp.ndarray]:
-    loss = segmentation_loss(logits, masks)["loss"]
+def seg_metrics(logits: jnp.ndarray, masks: jnp.ndarray, *, num_classes: int
+                ) -> Dict[str, jnp.ndarray]:
+    """Pixel accuracy + mean IoU (no loss) — reusable from training-time
+    validation without recomputing the CE."""
     preds = jnp.argmax(logits, axis=-1)
     ignore = masks == 255
     valid = ~ignore
@@ -39,7 +38,15 @@ def seg_eval_batch(
     countable = present & (union > 0)
     iou = jnp.where(countable, inter / jnp.maximum(union, 1.0), 0.0)
     mean_iou = jnp.sum(iou) / jnp.maximum(jnp.sum(countable), 1)
-    return {"loss": loss, "pixel_acc": pixel_acc, "mean_iou": mean_iou}
+    return {"pixel_acc": pixel_acc, "mean_iou": mean_iou}
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def seg_eval_batch(
+    logits: jnp.ndarray, masks: jnp.ndarray, *, num_classes: int
+) -> Dict[str, jnp.ndarray]:
+    loss = segmentation_loss(logits, masks)["loss"]
+    return {"loss": loss, **seg_metrics(logits, masks, num_classes=num_classes)}
 
 
 def evaluate_seg_like(

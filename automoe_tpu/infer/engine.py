@@ -37,10 +37,12 @@ class InferenceEngine:
         calib_frames: Optional[np.ndarray] = None,
     ):
         """quantize=True swaps the expert trunks to the int8 PTQ serving
-        path (automoe_tpu/serving/quant.py; ~1.34x throughput on v5e,
+        path (automoe_tpu/serving/quant.py; ~1.37x throughput on v5e,
         fidelity bounds in tests/test_quant.py). `calib_frames` are raw
-        uint8 camera frames [N,H,W,3] for activation calibration; when
-        omitted, mid-gray frames are used (prefer real frames)."""
+        uint8 camera frames [N,H,W,3] for activation calibration —
+        STRONGLY prefer real frames; the fallback is uniform-random noise
+        frames, which cover activation ranges far better than any constant
+        image but are still not your data distribution."""
         self.config = load_model_config(model_config)
         # the engine returns control outputs only → the exact-equivalent
         # fast gating pool (no full-res seg map materialisation)
@@ -83,7 +85,9 @@ class InferenceEngine:
             from automoe_tpu.serving import make_quant_forward, quantize_automoe
 
             if calib_frames is None:
-                calib_frames = np.full((2, *camera_hw, 3), 128, np.uint8)
+                calib_frames = np.random.default_rng(0).integers(
+                    0, 256, (2, *camera_hw, 3), dtype=np.uint8
+                )
             calib_img = jax.jit(_preprocess)(
                 jnp.asarray(calib_frames), self._mats
             )

@@ -115,12 +115,13 @@ def auction_solve_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cost_class", "cost_bbox", "cost_giou", "max_iters"),
+    static_argnames=("cost_class", "cost_bbox", "cost_giou", "max_iters",
+                     "interpret"),
 )
 def auction_match_pallas(
     pred_logits, pred_boxes, tgt_boxes, tgt_labels,
     *, cost_class: float = 1.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
-    max_iters: int = 1000,
+    max_iters: int = 1000, interpret=None,
 ):
     """hungarian_match-compatible API over the Pallas kernel (matcher name
     'auction_pallas'). 0.38 ms vs 12.4 ms exact Hungarian at
@@ -143,11 +144,15 @@ def auction_match_pallas(
         jnp.max(benefit, axis=(1, 2)) - jnp.min(benefit, axis=(1, 2)), 1e-3
     )
     eps = spread / 100.0 / max(N, 1)
-    # trace-time platform check: the Mosaic kernel needs a TPU; interpret
-    # mode keeps the same numerics on CPU (tests, debugging)
+    # interpret=None → trace-time DEFAULT-platform check: the Mosaic
+    # kernel needs a TPU; interpret mode keeps the same numerics on CPU
+    # (tests, debugging). Placing the computation on a non-default
+    # platform (jit(..., device=...)) requires passing interpret
+    # explicitly — default_backend() can't see the target device.
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     qi = auction_solve_pallas(
-        benefit, valid, eps, max_iters=max_iters,
-        interpret=jax.default_backend() != "tpu",
+        benefit, valid, eps, max_iters=max_iters, interpret=interpret,
     )
     # non-converged targets (qi == -1) are dropped, not clipped onto
     # query 0 (same policy as auction_match — see ops/auction.py)

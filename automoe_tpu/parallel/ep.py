@@ -135,6 +135,7 @@ def _make_ep_body(
         temperature=cfg.gating.temperature,
         use_softmax=cfg.gating.use_softmax,
         top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
+        noise_type=cfg.gating.noise_type,
         noise_scale=(
             cfg.gating.noise_scale if cfg.gating.honor_topk_in_composite else 0.0
         ),

@@ -178,8 +178,20 @@ def _dense(p, x):
     return x @ jnp.asarray(p["kernel"], x.dtype) + jnp.asarray(p["bias"], x.dtype)
 
 
+def _fold_experts(variables, cfg) -> List[Dict]:
+    return [
+        fold_resnet(
+            variables["params"][f"expert_{i}"][_expert_backbone_name(ecfg)],
+            variables["batch_stats"][f"expert_{i}"][_expert_backbone_name(ecfg)],
+        )
+        for i, ecfg in enumerate(cfg.experts)
+    ]
+
+
 def calibrate_automoe(variables, config, batches: Sequence[Dict],
-                      dtype=jnp.bfloat16) -> List[Dict[str, float]]:
+                      dtype=jnp.bfloat16,
+                      folded: Optional[List[Dict]] = None
+                      ) -> List[Dict[str, float]]:
     """Per-expert per-conv activation abs-max over calibration batches.
 
     `batches` are AutoMoE input dicts (only 'image' is consumed; images
@@ -188,13 +200,8 @@ def calibrate_automoe(variables, config, batches: Sequence[Dict],
     from automoe_tpu.configs import load_model_config
 
     cfg = load_model_config(config)
-    folded = []
-    for i, ecfg in enumerate(cfg.experts):
-        bb = _expert_backbone_name(ecfg)
-        folded.append(fold_resnet(
-            variables["params"][f"expert_{i}"][bb],
-            variables["batch_stats"][f"expert_{i}"][bb],
-        ))
+    if folded is None:
+        folded = _fold_experts(variables, cfg)
 
     @jax.jit
     def amaxes(image):
@@ -223,15 +230,11 @@ def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
     from automoe_tpu.configs import load_model_config
 
     cfg = load_model_config(config)
-    scales = calibrate_automoe(variables, cfg, calib_batches, dtype=dtype)
-    experts = []
-    for i, ecfg in enumerate(cfg.experts):
-        bb = _expert_backbone_name(ecfg)
-        folded = fold_resnet(
-            variables["params"][f"expert_{i}"][bb],
-            variables["batch_stats"][f"expert_{i}"][bb],
-        )
-        experts.append(quantize_folded(folded, float_convs))
+    folded = _fold_experts(variables, cfg)
+    scales = calibrate_automoe(
+        variables, cfg, calib_batches, dtype=dtype, folded=folded
+    )
+    experts = [quantize_folded(f, float_convs) for f in folded]
     return {"experts": experts, "scales": scales}
 
 

@@ -57,11 +57,18 @@ def _add_common(p: argparse.ArgumentParser):
                    help="call jax.distributed.initialize() first")
 
 
+def _init_backend(args):
+    """Order matters: jax.distributed.initialize() must run before ANY
+    backend resolution, and enable_compile_cache() resolves the backend —
+    so distributed first, cache second (jit_utils docstring)."""
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+    enable_compile_cache()
+
+
 def _mesh(args):
     if args.no_mesh:
         return None
-    if args.multihost:
-        jax.distributed.initialize()
     return make_mesh(MeshSpec(data=-1, model=1))
 
 
@@ -226,8 +233,6 @@ def cmd_gating(args):
 
         if args.no_mesh:
             raise SystemExit("--parallelism ep requires a device mesh")
-        if args.multihost:
-            jax.distributed.initialize()
         n_experts = len(model_cfg.experts)
         if len(jax.devices()) % n_experts:
             raise SystemExit(
@@ -297,7 +302,6 @@ def _expand_preset(argv):
 
 
 def main(argv=None):
-    enable_compile_cache()
     import sys as _sys
 
     argv = list(argv) if argv is not None else _sys.argv[1:]
@@ -355,6 +359,7 @@ def main(argv=None):
     pg.set_defaults(fn=cmd_gating)
 
     args = p.parse_args(argv)
+    _init_backend(args)
     return args.fn(args)
 
 

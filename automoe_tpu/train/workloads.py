@@ -135,6 +135,21 @@ def bdd_expert_workload(
                 matcher=matcher,
             )
             metrics = {"class_loss": res["class_loss"], "bbox_loss": res["bbox_loss"]}
+            if not train:
+                # per-epoch val task metrics (train_bdd100k_ddp.py:266-294:
+                # batch value = mean over samples WITH matches, 0.0 when
+                # none) — reuses the loss's OWN matching (no second
+                # forward, no second assignment)
+                from automoe_tpu.evals.detection import matched_iou_recall
+
+                B, hh, ww, _ = out["class_logits"].shape
+                pred_boxes = out["bbox_deltas"].reshape(B, hh * ww, 4)
+                si, sr, has = matched_iou_recall(
+                    pred_boxes, batch["bboxes"], res["query_idx"], res["valid"]
+                )
+                denom = jnp.maximum(jnp.sum(has), 1)
+                metrics["avg_iou"] = jnp.sum(jnp.where(has, si, 0.0)) / denom
+                metrics["recall_0.5"] = jnp.sum(jnp.where(has, sr, 0.0)) / denom
             return res["loss"], (metrics, new_stats)
 
         example = {
@@ -142,28 +157,6 @@ def bdd_expert_workload(
             "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
             "labels": jnp.full((2, box_cap), -1, jnp.int32),
         }
-
-        def metrics_fn(params, batch_stats, batch):
-            """avg matched IoU + recall@0.5 per val batch
-            (train_bdd100k_ddp.py:266-294: batch value = mean over samples
-            WITH matches/GT, 0.0 when none)."""
-            from automoe_tpu.evals.detection import detection_eval_batch
-
-            out, _ = _apply(
-                model, params, batch_stats, (batch["image"],), None, False
-            )
-            m = detection_eval_batch(
-                out["class_logits"], out["bbox_deltas"],
-                batch["bboxes"], batch["labels"],
-                num_classes=C, bbox_loss_weight=bbox_loss_weight,
-            )
-            has = m["has_match"]
-            denom = jnp.maximum(jnp.sum(has), 1)
-            return {
-                "avg_iou": jnp.sum(jnp.where(has, m["sample_iou"], 0.0)) / denom,
-                "recall_0.5": jnp.sum(jnp.where(has, m["sample_recall"], 0.0))
-                / denom,
-            }
     else:
         model = (
             BDDSegmentationExpert(num_classes=C, dtype=dtype)
@@ -176,27 +169,24 @@ def bdd_expert_workload(
                 model, params, batch_stats, (batch["image"],), rng, train
             )
             res = segmentation_loss(logits, batch["mask"])
-            return res["loss"], ({}, new_stats)
+            metrics = {}
+            if not train:
+                # pixel-acc + mIoU per val batch (train_bdd100k_ddp.py:
+                # 297-334), from the logits already in hand
+                from automoe_tpu.evals.segmentation import seg_metrics
+
+                metrics = dict(
+                    seg_metrics(logits, batch["mask"], num_classes=C)
+                )
+            return res["loss"], (metrics, new_stats)
 
         example = {
             "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
             "mask": jnp.zeros((2, image_size, image_size), jnp.int32),
         }
 
-        def metrics_fn(params, batch_stats, batch):
-            """pixel accuracy + mean IoU per val batch
-            (train_bdd100k_ddp.py:297-334)."""
-            from automoe_tpu.evals.segmentation import seg_eval_batch
-
-            logits, _ = _apply(
-                model, params, batch_stats, (batch["image"],), None, False
-            )
-            m = seg_eval_batch(logits, batch["mask"], num_classes=C)
-            return {"pixel_acc": m["pixel_acc"], "mean_iou": m["mean_iou"]}
-
     return Workload(
-        name=f"bdd_{task}", model=model, loss_fn=loss_fn,
-        example_batch=example, metrics_fn=metrics_fn,
+        name=f"bdd_{task}", model=model, loss_fn=loss_fn, example_batch=example
     )
 
 

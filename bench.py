@@ -104,8 +104,9 @@ def _timed_fetch(fn, reps: int = 4) -> float:
     return min(times)
 
 
-def device_per_step_ms(batch_size: int, k_lo=4, k_hi=20, reps=4) -> float:
-    chained, _, variables = build_chain(batch_size)
+def device_per_step_ms(batch_size: int, k_lo=4, k_hi=20, reps=4,
+                       built=None) -> float:
+    chained, _, variables = built if built is not None else build_chain(batch_size)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
         rng.integers(0, 255, (batch_size, 600, 800, 3), dtype=np.uint8)
@@ -116,8 +117,8 @@ def device_per_step_ms(batch_size: int, k_lo=4, k_hi=20, reps=4) -> float:
     return max((t_hi - t_lo) / (k_hi - k_lo) * 1e3, 1e-6)
 
 
-def host_roundtrip_ms(reps: int = 20) -> float:
-    _, single, variables = build_chain(1)
+def host_roundtrip_ms(reps: int = 20, built=None) -> float:
+    _, single, variables = built if built is not None else build_chain(1)
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, (1, 600, 800, 3), dtype=np.uint8))
     speed = jnp.ones((1, 1), jnp.float32)
@@ -130,10 +131,10 @@ def host_roundtrip_ms(reps: int = 20) -> float:
     return float(np.percentile(times, 50) * 1e3)
 
 
-def _flops_per_frame(batch_size: int) -> float:
+def _flops_per_frame(batch_size: int, built=None) -> float:
     """Analytic FLOPs per frame from XLA's compiled cost analysis of the
     single-step program (preprocess + full AutoMoE forward)."""
-    _, single, variables = build_chain(batch_size)
+    _, single, variables = built if built is not None else build_chain(batch_size)
     frames = jnp.zeros((batch_size, 600, 800, 3), jnp.uint8)
     speed = jnp.ones((batch_size, 1), jnp.float32)
     try:
@@ -152,11 +153,13 @@ _V5E_PEAK_FLOPS = 197e12
 def main():
     enable_compile_cache()
     B = 128
-    step_ms = device_per_step_ms(B)
+    built_b = build_chain(B)   # one model build + compile per batch size
+    built_1 = build_chain(1)
+    step_ms = device_per_step_ms(B, built=built_b)
     fps = B / (step_ms / 1e3)
-    lat_ms = device_per_step_ms(1, k_lo=4, k_hi=36, reps=4)
-    rt_ms = host_roundtrip_ms()
-    flops_frame = _flops_per_frame(B)
+    lat_ms = device_per_step_ms(1, k_lo=4, k_hi=36, reps=4, built=built_1)
+    rt_ms = host_roundtrip_ms(built=built_1)
+    flops_frame = _flops_per_frame(B, built=built_b)
     mfu = flops_frame * fps / _V5E_PEAK_FLOPS if flops_frame else 0.0
     baseline_fps = 5000.0  # BASELINE.json north star (v5e target)
     result = {

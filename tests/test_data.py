@@ -268,6 +268,7 @@ def test_sharded_sampler_partition():
     (10, 8, 4),
     (33, 3, 8),
     (7, 2, 7),
+    (3, 8, 1),   # padding exceeds the dataset (cyclic repeat needed)
 ])
 def test_sharded_sampler_equal_batch_counts(n, shards, bs, drop_last):
     """Every shard yields exactly the same number of batches (and exactly
