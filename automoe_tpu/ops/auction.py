@@ -24,7 +24,13 @@ import jax.numpy as jnp
 
 from automoe_tpu.ops.matching import match_cost_matrix
 
-_NEG = jnp.float32(-1e9)
+# numpy, NOT jnp: a module-level jnp scalar (a) initializes the JAX
+# backend at import time — breaking jax.distributed.initialize() for every
+# multihost entry point — and (b) is a closed-over device constant, the
+# dispatch-poison pattern from CLAUDE.md landmine 1.
+import numpy as _np
+
+_NEG = _np.float32(-1e9)
 
 
 def _auction_phase(benefit, valid, price, eps, max_iters):

@@ -55,6 +55,11 @@ def _add_common(p: argparse.ArgumentParser):
                    help="single-device (skip mesh sharding)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port for multihost when cluster auto-detect "
+                        "is unavailable (with --num-processes/--process-id)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _init_backend(args):
@@ -62,7 +67,14 @@ def _init_backend(args):
     backend resolution, and enable_compile_cache() resolves the backend —
     so distributed first, cache second (jit_utils docstring)."""
     if getattr(args, "multihost", False):
-        jax.distributed.initialize()
+        kw = {}
+        if getattr(args, "coordinator", None):
+            kw = dict(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        jax.distributed.initialize(**kw)
     enable_compile_cache()
 
 
