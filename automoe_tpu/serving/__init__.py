@@ -1,3 +1,8 @@
+from automoe_tpu.serving.export import (  # noqa: F401
+    export_serving_step,
+    load_serving_step,
+    save_serving_artifact,
+)
 from automoe_tpu.serving.quant import (  # noqa: F401
     calibrate_automoe,
     fold_resnet,

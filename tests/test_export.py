@@ -1,0 +1,45 @@
+"""AOT serving export: serialize → reload → outputs identical."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+CFG = {
+    "experts": [
+        {"type": "drivable", "num_classes": 3},
+        {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+         "fusion": "sum", "use_lidar": False},
+    ],
+    "gating": {"top_k": 0, "noise_scale": 0.0},
+    "context": {"type": "simple"},
+    "policy": {"num_waypoints": 4},
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("quantize", [False, True])
+def test_export_roundtrip(tmp_path, rng, quantize):
+    from automoe_tpu.infer.engine import InferenceEngine
+    from automoe_tpu.serving import load_serving_step, save_serving_artifact
+
+    engine = InferenceEngine(
+        CFG, camera_hw=(120, 160), model_hw=(64, 64), dtype=jnp.float32,
+        quantize=quantize,
+    )
+    frame = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    ref = engine.infer(frame, 12.0)
+
+    path = save_serving_artifact(engine, tmp_path / "automoe.stablehlo")
+    assert path.stat().st_size > 1000
+    step = load_serving_step(path)
+    out = step(frame[None], np.asarray([[12.0]], np.float32))
+    for k in ("waypoints", "speed", "expert_weights"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]), ref[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+    # shape mismatch is rejected, not miscomputed
+    with pytest.raises(Exception):
+        step(np.zeros((2, 120, 160, 3), np.uint8),
+             np.zeros((2, 1), np.float32))
