@@ -115,8 +115,23 @@ def cmd_gating(args):
         num_workers=args.num_workers, shuffle=False,
         horizon=cfg.policy.num_waypoints, **kw,
     )
-    forward = jax.jit(lambda v, b: wl.model.apply(v, b))
+    if args.quantize:
+        # PTQ accuracy validation: same metrics through the int8 serving
+        # path, calibrated on the first val batch (serving/quant.py)
+        from automoe_tpu.serving import make_quant_forward, quantize_automoe
+
+        calib = next(iter(loader))
+        qpack = quantize_automoe(
+            variables, cfg,
+            [{"image": jnp.asarray(calib["image"])}], dtype=jnp.float32,
+        )
+        qfwd = make_quant_forward(cfg, qpack["scales"], dtype=jnp.float32)
+        qexperts = jax.tree.map(jnp.asarray, qpack["experts"])
+        forward = jax.jit(lambda v, b: qfwd(v, qexperts, b))
+    else:
+        forward = jax.jit(lambda v, b: wl.model.apply(v, b))
     res = evaluate_automoe(forward, variables, loader)
+    res["quantized"] = bool(args.quantize)
 
     expert_names = [e.type for e in cfg.experts]
     vis = Path(args.out_dir) / "vis"
@@ -273,6 +288,9 @@ def main(argv=None):
     pg = sub.add_parser("gating")
     pg.add_argument("--model-config", default=None)
     pg.add_argument("--use-logits", action="store_true")
+    pg.add_argument("--quantize", action="store_true",
+                    help="evaluate through the int8 PTQ serving path "
+                         "(calibrated on the first val batch)")
     common(pg)
     pg.set_defaults(fn=cmd_gating)
 

@@ -83,6 +83,32 @@ def test_eval_cli_gating(carla_root, tmp_path):
     assert "correlation" in res
 
 
+def test_eval_cli_gating_quantized(carla_root, tmp_path):
+    """--quantize evaluates through the int8 PTQ serving path and reports
+    metrics in the same schema (PTQ accuracy-validation workflow)."""
+    from automoe_tpu.evals.cli import main as eval_main
+
+    res = eval_main([
+        "gating", "--quantize",
+        "--model-config", json.dumps({
+            "experts": [
+                {"type": "drivable", "num_classes": 3},
+                {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+                 "fusion": "sum", "use_lidar": False},
+            ],
+            "gating": {"top_k": 0, "noise_scale": 0.0},
+            "context": {"type": "simple"},
+            "policy": {"num_waypoints": 4},
+        }),
+        "--data-root", str(carla_root),
+        "--batch-size", "2", "--num-workers", "1",
+        "--image-size", "32",
+        "--out-dir", str(tmp_path / "eval_q"),
+    ])
+    assert res["quantized"] is True
+    assert np.isfinite(res["ade_l1"])
+
+
 def test_step_timer():
     import time
 
