@@ -1,4 +1,8 @@
 from automoe_tpu.data.loader import DataLoader, ShardedSampler  # noqa: F401
+from automoe_tpu.data.packed import (  # noqa: F401
+    PackedSequenceDataset,
+    pack_carla_sequences,
+)
 from automoe_tpu.data.factories import (  # noqa: F401
     get_bdd_detection_loader,
     get_bdd_drivable_loader,

@@ -133,12 +133,26 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 
+        # Datasets exposing read_batch (native packed caches) gather a whole
+        # batch in one call — skip per-sample map + collate. Only valid with
+        # the default stacking collate: read_batch already returns [B, ...].
+        read_batch = (
+            getattr(self.dataset, "read_batch", None)
+            if self.collate_fn is stack_batch
+            else None
+        )
+
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
                     for batch_idx in batches:
-                        samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        batch = self.collate_fn(samples)
+                        if read_batch is not None:
+                            batch = read_batch(batch_idx)
+                        else:
+                            samples = list(
+                                pool.map(self.dataset.__getitem__, batch_idx)
+                            )
+                            batch = self.collate_fn(samples)
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
                         q.put(batch)

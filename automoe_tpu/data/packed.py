@@ -96,3 +96,14 @@ class PackedSequenceDataset:
         }
         out["meta"] = self.meta[i]
         return out
+
+    def read_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Whole-batch gather (DataLoader fast path; no 'meta' — metadata
+        stays host-side in `self.meta`). The native C++ reader
+        (`data.native_packed.NativePackedDataset`) is the faster drop-in."""
+        idx = np.asarray(indices, np.int64)
+        return {
+            k: v[idx].astype(np.float32)
+            for k, v in self._mm.items()
+            if v is not None
+        }

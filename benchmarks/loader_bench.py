@@ -60,6 +60,19 @@ def bench(ds, n=200, label=""):
             "ms_per_sample": round(dt / n * 1e3, 3)}
 
 
+def bench_batched(ds, batch_size=32, n_batches=16, label=""):
+    rng = np.random.default_rng(1)
+    ds.read_batch(rng.integers(0, len(ds), batch_size))  # warm
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        ds.read_batch(rng.integers(0, len(ds), batch_size))
+    dt = time.perf_counter() - t0
+    n = batch_size * n_batches
+    return {"dataset": label, "samples_per_sec": round(n / dt, 1),
+            "ms_per_batch": round(dt / n_batches * 1e3, 3),
+            "batch_size": batch_size}
+
+
 def main():
     from automoe_tpu.data.datasets import CarlaSequenceDataset
     from automoe_tpu.data.packed import PackedSequenceDataset, pack_carla_sequences
@@ -76,6 +89,18 @@ def main():
         print(json.dumps(bench(ds_pt, label="pt_per_frame (reference-style)")))
         print(json.dumps(bench(ds_cached, label="pt_with_lru_cache")))
         print(json.dumps(bench(ds_packed, label="packed_memmap")))
+        # whole-batch gather paths (what the DataLoader actually uses)
+        print(json.dumps(bench_batched(
+            ds_packed, label="packed_memmap read_batch (python)")))
+        try:
+            from automoe_tpu.data.native_packed import NativePackedDataset
+
+            ds_native = NativePackedDataset(packed_dir)
+            print(json.dumps(bench_batched(
+                ds_native, label="packed native C++ reader")))
+        except Exception as e:  # g++ unavailable
+            print(json.dumps({"dataset": "packed native C++ reader",
+                              "skipped": str(e)}))
 
 
 if __name__ == "__main__":
