@@ -10,6 +10,11 @@ metrics and config dump, and `--continue-from` resume.
 
 Requires the CARLA client + a running server; the geometry and the run
 manifest writer below are importable and tested headless.
+
+`--legacy` reproduces the superseded RGB-only collector
+(reference scripts/collect_autopilot_data_old.py:16-21,190-232): every
+camera in the rig saves on each Nth tick, no LiDAR / semantic camera /
+bbox annotations, and collision events are logged to collisions.json.
 """
 from __future__ import annotations
 
@@ -66,7 +71,8 @@ def write_run_manifest(run_dir: Path, config: dict, frames: list) -> dict:
     return metrics
 
 
-def collect_run(client, run_idx: int, args) -> dict:  # pragma: no cover - needs CARLA
+def collect_run(client, run_idx: int, args) -> dict:
+    # runs against a live CARLA server, or headless via tests/carla_stub.py
     import carla
 
     world = client.get_world()
@@ -108,19 +114,34 @@ def collect_run(client, run_idx: int, args) -> dict:  # pragma: no cover - needs
         actors.append(cam)
         queues[name] = q
 
+    legacy = getattr(args, "legacy", False)
     for name, cfg in CAMERA_RIG.items():
         attach_camera(name, cfg)
-    attach_camera("front_seg", CAMERA_RIG["front"],
-                  "sensor.camera.semantic_segmentation")
 
-    lidar_bp = bp.find("sensor.lidar.ray_cast")
-    lidar_bp.set_attribute("channels", "32")
-    lidar = world.spawn_actor(
-        lidar_bp, carla.Transform(carla.Location(z=2.4)), attach_to=ego
-    )
     lidar_q: "queue.Queue" = queue.Queue()
-    lidar.listen(lidar_q.put)
-    actors.append(lidar)
+    if not legacy:
+        attach_camera("front_seg", CAMERA_RIG["front"],
+                      "sensor.camera.semantic_segmentation")
+        lidar_bp = bp.find("sensor.lidar.ray_cast")
+        lidar_bp.set_attribute("channels", "32")
+        lidar = world.spawn_actor(
+            lidar_bp, carla.Transform(carla.Location(z=2.4)), attach_to=ego
+        )
+        lidar.listen(lidar_q.put)
+        actors.append(lidar)
+
+    # collision sensor (legacy collisions.json log,
+    # collect_autopilot_data_old.py:172-186; S1 logs them too)
+    collisions: list = []
+    col_sensor = world.spawn_actor(
+        bp.find("sensor.other.collision"), carla.Transform(), attach_to=ego
+    )
+    col_sensor.listen(
+        lambda e: collisions.append(
+            {"frame": e.frame, "other": e.other_actor.type_id}
+        )
+    )
+    actors.append(col_sensor)
 
     # NPC traffic
     for sp in spawn_points[1 : 1 + args.vehicles]:
@@ -134,7 +155,12 @@ def collect_run(client, run_idx: int, args) -> dict:  # pragma: no cover - needs
             continue
 
     run_dir = Path(args.output) / f"run_{run_idx:03d}"
-    for sub in ("images/front", "segmentation/front", "annots/front", "lidar"):
+    subdirs = (
+        tuple(f"images/{c}" for c in CAMERA_RIG)
+        if legacy
+        else ("images/front", "segmentation/front", "annots/front", "lidar")
+    )
+    for sub in subdirs:
         (run_dir / sub).mkdir(parents=True, exist_ok=True)
 
     K = build_camera_intrinsic(IMG_W, IMG_H, FOV)
@@ -146,37 +172,52 @@ def collect_run(client, run_idx: int, args) -> dict:  # pragma: no cover - needs
             if tick % args.save_every:
                 continue
             front = drain_latest(queues["front"])
-            seg = drain_latest(queues["front_seg"])
-            pts = drain_latest(lidar_q)
             if front is None:
                 continue
             fname = f"{tick:06d}.png"
             front.save_to_disk(str(run_dir / "images/front" / fname))
-            if seg is not None:
-                seg.save_to_disk(str(run_dir / "segmentation/front" / fname))
-            if pts is not None:
-                arr = np.frombuffer(pts.raw_data, np.float32).reshape(-1, 4)
-                np.save(run_dir / "lidar" / f"{tick:06d}.npy", arr)
+            if legacy:
+                # every-camera RGB saves (collect_autopilot_data_old.py:200-208)
+                for cam_name in CAMERA_RIG:
+                    if cam_name == "front":
+                        continue
+                    img = drain_latest(queues[cam_name])
+                    if img is not None:
+                        img.save_to_disk(
+                            str(run_dir / "images" / cam_name / fname)
+                        )
+            else:
+                seg = drain_latest(queues["front_seg"])
+                pts = drain_latest(lidar_q)
+                if seg is not None:
+                    seg.save_to_disk(
+                        str(run_dir / "segmentation/front" / fname)
+                    )
+                if pts is not None:
+                    arr = np.frombuffer(pts.raw_data, np.float32).reshape(-1, 4)
+                    np.save(run_dir / "lidar" / f"{tick:06d}.npy", arr)
 
-            # analytic 2D boxes for nearby actors
-            cam_actor = actors[1]  # front camera
-            tf = cam_actor.get_transform()
-            w2c = world_to_camera_matrix(
-                [tf.location.x, tf.location.y, tf.location.z],
-                [tf.rotation.pitch, tf.rotation.yaw, tf.rotation.roll],
-            )
-            boxes = []
-            for actor in world.get_actors().filter("*vehicle*"):
-                if actor.id == ego.id:
-                    continue
-                verts = actor.bounding_box.get_world_vertices(actor.get_transform())
-                vs = np.array([[v.x, v.y, v.z] for v in verts], np.float32)
-                bb = compute_2d_bbox(vs, K, w2c, IMG_W, IMG_H)
-                if bb:
-                    boxes.append({"bbox": bb, "label": "vehicle"})
-            (run_dir / "annots/front" / f"{tick:06d}.json").write_text(
-                json.dumps({"boxes": boxes})
-            )
+                # analytic 2D boxes for nearby actors
+                cam_actor = actors[1]  # front camera
+                tf = cam_actor.get_transform()
+                w2c = world_to_camera_matrix(
+                    [tf.location.x, tf.location.y, tf.location.z],
+                    [tf.rotation.pitch, tf.rotation.yaw, tf.rotation.roll],
+                )
+                boxes = []
+                for actor in world.get_actors().filter("*vehicle*"):
+                    if actor.id == ego.id:
+                        continue
+                    verts = actor.bounding_box.get_world_vertices(
+                        actor.get_transform()
+                    )
+                    vs = np.array([[v.x, v.y, v.z] for v in verts], np.float32)
+                    bb = compute_2d_bbox(vs, K, w2c, IMG_W, IMG_H)
+                    if bb:
+                        boxes.append({"bbox": bb, "label": "vehicle"})
+                (run_dir / "annots/front" / f"{tick:06d}.json").write_text(
+                    json.dumps({"boxes": boxes})
+                )
 
             v = ego.get_velocity()
             loc, rot = ego.get_location(), ego.get_transform().rotation
@@ -216,9 +257,11 @@ def collect_run(client, run_idx: int, args) -> dict:  # pragma: no cover - needs
         settings.synchronous_mode = False
         world.apply_settings(settings)
 
+    (run_dir / "collisions.json").write_text(json.dumps(collisions, indent=2))
     config = {
         "run_id": f"run_{run_idx:03d}",
         "map": world.get_map().name,
+        "legacy_rgb_only": legacy,
         "weather": {
             "cloudiness": weather.cloudiness,
             "precipitation": weather.precipitation,
@@ -239,6 +282,12 @@ def main(argv=None):  # pragma: no cover - needs CARLA
     p.add_argument("--output", default="datasets/carla/raw")
     p.add_argument("--save-every", type=int, default=5)
     p.add_argument("--continue-from", type=int, default=1)
+    p.add_argument(
+        "--legacy", action="store_true",
+        help="RGB-only multi-camera collection (reference "
+        "scripts/collect_autopilot_data_old.py parity): all rig cameras "
+        "saved, no LiDAR/segmentation/bbox annotations",
+    )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=2000)
     args = p.parse_args(argv)
