@@ -149,3 +149,23 @@ class InferenceEngine:
             jnp.asarray(frame_u8), speed,
         )
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def infer_batch(
+        self, frames_u8: np.ndarray, speeds_kmh: np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """frames_u8 [B,H,W,3] uint8, speeds_kmh [B] → host numpy outputs.
+
+        One XLA program per distinct B (compiled once, then cached) —
+        the serving front-end (serving/server.py) pads to fixed bucket
+        sizes so only a handful of programs ever exist."""
+        speeds = np.asarray(speeds_kmh, np.float32).reshape(-1, 1)
+        if frames_u8.shape[0] != speeds.shape[0]:
+            raise ValueError(
+                f"batch mismatch: {frames_u8.shape[0]} frames vs "
+                f"{speeds.shape[0]} speeds"
+            )
+        out = self._step(
+            self.variables, self._qexperts, self._mats,
+            jnp.asarray(frames_u8), jnp.asarray(speeds),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}

@@ -3,6 +3,11 @@ from automoe_tpu.serving.export import (  # noqa: F401
     load_serving_step,
     save_serving_artifact,
 )
+from automoe_tpu.serving.server import (  # noqa: F401
+    BatchingServer,
+    Client,
+    serve_tcp,
+)
 from automoe_tpu.serving.quant import (  # noqa: F401
     calibrate_automoe,
     fold_resnet,

@@ -1,0 +1,253 @@
+"""Micro-batching serving front-end over the InferenceEngine.
+
+The reference serves one frame per CARLA tick from a single client
+(inference/run_automoe.py:242-291) and has no multi-client story. For
+production serving the device wants batched steps: `BatchingServer`
+collects concurrent requests for up to `max_wait_ms`, pads the group to a
+fixed bucket size (so only len(buckets) XLA programs are ever compiled —
+static shapes), runs ONE engine step, and fans the rows back out to the
+waiting callers. A length-prefixed TCP front-end (`serve_tcp`) exposes it
+to out-of-process clients.
+
+Throughput model: at bucket 8 the v5e device step is well under the 20 Hz
+tick budget, so batching trades ~max_wait_ms of added latency for ~Bx
+throughput — knobs the deployment picks.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class BatchingServer:
+    """Collects concurrent infer requests into bucketed device batches."""
+
+    def __init__(
+        self,
+        engine,
+        *,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        buckets: Optional[Sequence[int]] = None,
+    ):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        if buckets is None:
+            buckets = []
+            b = 1
+            while b < self.max_batch:
+                buckets.append(b)
+                b *= 2
+            buckets.append(self.max_batch)
+        self.buckets = sorted(set(int(b) for b in buckets))
+        if self.buckets[-1] < self.max_batch:
+            raise ValueError("largest bucket must cover max_batch")
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker: Optional[threading.Thread] = None
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "rows_padded": 0,
+            "max_batch_seen": 0,
+        }
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self, warmup: bool = True):
+        if warmup:
+            h, w = self.engine.camera_hw
+            for b in self.buckets:
+                self.engine.infer_batch(
+                    np.zeros((b, h, w, 3), np.uint8), np.zeros((b,))
+                )
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        return self
+
+    def close(self):
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+            self._worker = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- client API ------------------------------------------------------
+
+    def submit(self, frame_u8: np.ndarray, speed_kmh: float) -> Future:
+        """Enqueue one frame; resolves to {waypoints, speed, speed_seq,
+        expert_weights} rows (no batch dim)."""
+        if self._worker is None:
+            raise RuntimeError("server not started")
+        fut: Future = Future()
+        self._q.put((np.asarray(frame_u8, np.uint8), float(speed_kmh), fut))
+        return fut
+
+    def infer(self, frame_u8: np.ndarray, speed_kmh: float) -> Dict[str, np.ndarray]:
+        return self.submit(frame_u8, speed_kmh).result()
+
+    # -- worker ----------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.buckets[-1]
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(group) < self.max_batch:
+                remain = deadline - time.perf_counter()
+                if remain <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remain))
+                except queue.Empty:
+                    break
+            self._process(group)
+
+    def _process(self, group):
+        frames = np.stack([g[0] for g in group])
+        speeds = np.asarray([g[1] for g in group], np.float32)
+        n = len(group)
+        b = self._bucket_for(n)
+        if b > n:  # pad by repeating the last row — static shapes
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], b - n, axis=0)]
+            )
+            speeds = np.concatenate([speeds, np.repeat(speeds[-1:], b - n)])
+        try:
+            out = self.engine.infer_batch(frames, speeds)
+        except Exception as e:  # propagate to every caller
+            for _, _, fut in group:
+                fut.set_exception(e)
+            return
+        self.stats["requests"] += n
+        self.stats["batches"] += 1
+        self.stats["rows_padded"] += b - n
+        self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], n)
+        for i, (_, _, fut) in enumerate(group):
+            fut.set_result({k: v[i] for k, v in out.items()})
+
+
+# -- TCP front-end --------------------------------------------------------
+#
+# Wire format (both directions): 4-byte big-endian length, then a JSON
+# header; requests append the raw uint8 frame bytes after the header.
+# Request header: {"speed_kmh": float, "height": H, "width": W}.
+# Response: {"waypoints": [[x,y],...], "speed": s, "speed_seq": [...],
+#            "expert_weights": [...]} (or {"error": msg}).
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def _send_msg(sock, header: dict, payload: bytes = b""):
+    head = json.dumps(header).encode()
+    sock.sendall(struct.pack(">I", len(head)) + head + payload)
+
+
+def _recv_msg(sock) -> Tuple[dict, socket.socket]:
+    (hlen,) = struct.unpack(">I", _recv_exact(sock, 4))
+    header = json.loads(_recv_exact(sock, hlen))
+    return header, sock
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        server: "TCPServer" = self.server  # type: ignore[assignment]
+        sock = self.request
+        try:
+            while True:
+                try:
+                    header, _ = _recv_msg(sock)
+                except ConnectionError:
+                    return
+                try:
+                    h, w = int(header["height"]), int(header["width"])
+                    frame = np.frombuffer(
+                        _recv_exact(sock, h * w * 3), np.uint8
+                    ).reshape(h, w, 3)
+                    out = server.batcher.infer(
+                        frame, float(header.get("speed_kmh", 0.0))
+                    )
+                    _send_msg(sock, {
+                        k: np.asarray(v).tolist() for k, v in out.items()
+                    })
+                except Exception as e:
+                    _send_msg(sock, {"error": str(e)})
+        except (BrokenPipeError, ConnectionResetError):
+            return
+
+
+class TCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, batcher: BatchingServer):
+        super().__init__(addr, _Handler)
+        self.batcher = batcher
+
+
+def serve_tcp(
+    batcher: BatchingServer, host: str = "127.0.0.1", port: int = 0
+) -> TCPServer:
+    """Start the threaded TCP front-end; returns the server (its
+    `server_address` carries the bound port). Call `shutdown()` to stop."""
+    srv = TCPServer((host, port), batcher)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+class Client:
+    """Minimal blocking client for the TCP front-end."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self._lock = threading.Lock()
+
+    def infer(self, frame_u8: np.ndarray, speed_kmh: float) -> Dict:
+        frame = np.ascontiguousarray(frame_u8, np.uint8)
+        h, w = frame.shape[:2]
+        with self._lock:
+            _send_msg(
+                self._sock,
+                {"speed_kmh": float(speed_kmh), "height": h, "width": w},
+                frame.tobytes(),
+            )
+            out, _ = _recv_msg(self._sock)
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def close(self):
+        self._sock.close()

@@ -1,0 +1,134 @@
+"""Micro-batching serving front-end (serving/server.py): batching
+semantics, result-row fidelity vs direct engine calls, and the TCP
+protocol round trip. Runs a tiny AutoMoE on the CPU backend."""
+import threading
+
+import numpy as np
+import pytest
+
+TINY_CFG = {
+    "experts": [
+        {"type": "drivable", "num_classes": 3},
+    ],
+    "gating": {"top_k": 0, "noise_scale": 0.0},
+    "context": {"type": "simple"},
+    "policy": {"num_waypoints": 4},
+}
+CAM_HW = (48, 64)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from automoe_tpu.infer.engine import InferenceEngine
+
+    return InferenceEngine(TINY_CFG, camera_hw=CAM_HW, model_hw=(32, 32))
+
+
+def _frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (n, *CAM_HW, 3), dtype=np.uint8)
+
+
+def test_infer_batch_matches_single(engine):
+    frames = _frames(3)
+    speeds = np.array([10.0, 20.0, 30.0])
+    batched = engine.infer_batch(frames, speeds)
+    assert batched["waypoints"].shape[0] == 3
+    for i in range(3):
+        single = engine.infer(frames[i], float(speeds[i]))
+        np.testing.assert_allclose(
+            batched["waypoints"][i], single["waypoints"][0],
+            rtol=2e-2, atol=2e-2,  # bf16 batch-position noise
+        )
+
+
+def test_batching_server_groups_and_matches(engine):
+    from automoe_tpu.serving.server import BatchingServer
+
+    frames = _frames(8, seed=1)
+    with BatchingServer(engine, max_batch=4, max_wait_ms=80) as srv:
+        futs = [srv.submit(frames[i], float(i)) for i in range(8)]
+        rows = [f.result(timeout=60) for f in futs]
+    assert srv.stats["requests"] == 8
+    # concurrency: fewer device batches than requests
+    assert srv.stats["batches"] < 8
+    assert srv.stats["max_batch_seen"] >= 2
+    ref = engine.infer_batch(frames, np.arange(8, dtype=np.float32))
+    for i, row in enumerate(rows):
+        assert row["waypoints"].shape == ref["waypoints"][i].shape
+        np.testing.assert_allclose(
+            row["waypoints"], ref["waypoints"][i], rtol=2e-2, atol=2e-2
+        )
+
+
+def test_batching_server_bucket_padding(engine):
+    from automoe_tpu.serving.server import BatchingServer
+
+    srv = BatchingServer(engine, max_batch=4, max_wait_ms=40)
+    assert srv.buckets == [1, 2, 4]
+    assert srv._bucket_for(3) == 4
+    with srv:
+        out = srv.infer(_frames(1)[0], 5.0)
+    assert out["waypoints"].ndim == 2
+
+
+def test_tcp_round_trip(engine):
+    from automoe_tpu.serving.server import BatchingServer, Client, serve_tcp
+
+    frames = _frames(4, seed=2)
+    with BatchingServer(engine, max_batch=4, max_wait_ms=40) as batcher:
+        tcp = serve_tcp(batcher)
+        try:
+            port = tcp.server_address[1]
+            results = {}
+
+            def call(i):
+                c = Client("127.0.0.1", port)
+                try:
+                    results[i] = c.infer(frames[i], float(10 * i))
+                finally:
+                    c.close()
+
+            threads = [
+                threading.Thread(target=call, args=(i,)) for i in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            assert set(results) == {0, 1, 2, 3}
+            ref = engine.infer_batch(
+                frames, np.array([0.0, 10.0, 20.0, 30.0])
+            )
+            for i in range(4):
+                np.testing.assert_allclose(
+                    results[i]["waypoints"], ref["waypoints"][i],
+                    rtol=2e-2, atol=2e-2,
+                )
+                assert np.isfinite(results[i]["expert_weights"]).all()
+        finally:
+            tcp.shutdown()
+            tcp.server_close()
+
+
+def test_tcp_error_path(engine):
+    from automoe_tpu.serving.server import (
+        BatchingServer, _recv_msg, _send_msg, serve_tcp,
+    )
+    import socket
+
+    with BatchingServer(engine, max_batch=2, max_wait_ms=10) as batcher:
+        tcp = serve_tcp(batcher)
+        try:
+            sock = socket.create_connection(
+                ("127.0.0.1", tcp.server_address[1])
+            )
+            # wrong frame size → server must answer with an error header
+            _send_msg(sock, {"speed_kmh": 0.0, "height": 2, "width": 2},
+                      b"\x00" * 12)
+            out, _ = _recv_msg(sock)
+            assert "error" in out
+            sock.close()
+        finally:
+            tcp.shutdown()
+            tcp.server_close()
