@@ -60,6 +60,13 @@ def _add_common(p: argparse.ArgumentParser):
                         "is unavailable (with --num-processes/--process-id)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans: re-run the op that produced a "
+                        "NaN un-jitted and raise with its location "
+                        "(slow; debugging only)")
+    p.add_argument("--max-inflight", type=int, default=2,
+                   help="train steps allowed in flight before the host "
+                        "waits on the oldest (0 = sync every step)")
 
 
 def _init_backend(args):
@@ -75,6 +82,8 @@ def _init_backend(args):
                 process_id=args.process_id,
             )
         jax.distributed.initialize(**kw)
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     enable_compile_cache()
 
 
@@ -107,6 +116,7 @@ def _train_cfg(args) -> TrainConfig:
         save_freq=args.save_freq,
         resume=args.resume,
         resume_from=args.resume_from,
+        max_inflight=getattr(args, "max_inflight", 2),
     )
 
 

@@ -56,6 +56,11 @@ class TrainConfig:
     resume: Optional[str] = None  # 'model' | 'full'
     resume_from: str = "last"
     log_every: int = 50
+    # steps allowed in flight before the host waits on the oldest one.
+    # 0 = fetch the loss every step (a host round trip per step — ~30-45 ms
+    # on tunneled runtimes); N>0 pipelines N steps so H2D + host loop
+    # overlap device compute while HBM holds at most N live input batches.
+    max_inflight: int = 2
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -110,6 +115,7 @@ class Trainer:
             save_freq=config.save_freq,
         )
         self.logger = MetricsLogger(f"{config.runs_root}/{workload.name}_{config.run_name}")
+        self._install_loader_transfer()
         self.rng = jax.random.key(config.seed + 1)
         self.timer = StepTimer()
         self.start_epoch = 0
@@ -119,7 +125,30 @@ class Trainer:
             )
             self.start_epoch = epoch + 1 if config.resume == "full" else 0
 
+    def _install_loader_transfer(self):
+        """Move the host→device transfer into the DataLoader's producer
+        thread (device_put_fn) so H2D overlaps the previous device step.
+        Only applies to our DataLoader; torch-style iterables keep the
+        in-loop transfer via _device_batch."""
+        if self.mesh is None:
+            return
+        mesh = self.mesh
+
+        def put(batch):
+            batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
+            return shard_batch(batch, mesh)
+
+        for dl in (self.train_loader, self.val_loader):
+            if (
+                dl is not None
+                and hasattr(dl, "device_put_fn")
+                and dl.device_put_fn is None
+            ):
+                dl.device_put_fn = put
+
     def _device_batch(self, batch: Dict[str, np.ndarray]):
+        if any(isinstance(v, jax.Array) for v in batch.values()):
+            return batch  # already transferred by the loader thread
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
@@ -129,15 +158,20 @@ class Trainer:
         self.train_loader.set_epoch(epoch)
         total, n = 0.0, 0
         t0 = time.time()
+        # bounded pipeline: keep ≤ max_inflight dispatched steps pending,
+        # waiting only on the OLDEST one — the host never pays a full
+        # round trip per step and the device never sits idle between steps
+        pending: list = []
         for i, batch in enumerate(self.train_loader):
             self.timer.start()
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch), self.rng
             )
-            loss = float(metrics["loss"])  # host sync bounds the step
+            pending.append(metrics["loss"])
+            if len(pending) > max(0, self.cfg.max_inflight):
+                total += float(pending.pop(0))  # sync on the oldest step
+                n += 1
             self.timer.stop()
-            total += loss
-            n += 1
             step = int(self.state.step)
             if step % self.cfg.log_every == 0:
                 self.logger.log(
@@ -146,6 +180,9 @@ class Trainer:
                      **self.timer.stats()},
                     prefix="train",
                 )
+        for loss in pending:  # drain the tail
+            total += float(loss)
+            n += 1
         avg = total / max(1, n)
         self.logger.log(
             int(self.state.step),
