@@ -59,6 +59,27 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [K, B, ...] stack of K batches (scan-steps training):
+    replicated over K, data-sharded over the per-step batch axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a [K, B, ...] host batch stack onto the mesh (axis 1 = data).
+    Multi-host: each process passes its LOCAL [K, B_local, ...] stack."""
+    sharding = stacked_batch_sharding(mesh)
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        x = np.asarray(x)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, batch)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch axis.
 

@@ -67,6 +67,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max-inflight", type=int, default=2,
                    help="train steps allowed in flight before the host "
                         "waits on the oldest (0 = sync every step)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="K>1 scans K optimizer steps per jitted dispatch "
+                        "(one stacked H2D + one fetch per K steps; K "
+                        "batches of HBM for inputs)")
 
 
 def _init_backend(args):
@@ -117,6 +121,7 @@ def _train_cfg(args) -> TrainConfig:
         resume=args.resume,
         resume_from=args.resume_from,
         max_inflight=getattr(args, "max_inflight", 2),
+        steps_per_call=getattr(args, "steps_per_call", 1),
     )
 
 

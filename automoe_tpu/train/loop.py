@@ -19,7 +19,11 @@ import numpy as np
 from automoe_tpu.ckpt.checkpoint import CheckpointManager
 from automoe_tpu.parallel.mesh import shard_batch
 from automoe_tpu.train.state import TrainState, make_optimizer
-from automoe_tpu.train.step import make_eval_step, make_train_step
+from automoe_tpu.train.step import (
+    make_eval_step,
+    make_scan_train_step,
+    make_train_step,
+)
 from automoe_tpu.train.workloads import Workload
 from automoe_tpu.utils.metrics import MetricsLogger
 from automoe_tpu.utils.profiling import StepTimer
@@ -61,6 +65,11 @@ class TrainConfig:
     # on tunneled runtimes); N>0 pipelines N steps so H2D + host loop
     # overlap device compute while HBM holds at most N live input batches.
     max_inflight: int = 2
+    # K>1 = lax.scan K optimizer steps per dispatch (one H2D of a stacked
+    # [K,B,...] batch group, one metrics fetch) — amortizes the per-step
+    # host cost the reference pays every step. Inputs for K steps live in
+    # HBM at once; leftover batches at epoch end run single-step.
+    steps_per_call: int = 1
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -100,6 +109,11 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
         )
         self.train_step = make_train_step(workload.loss_fn, mesh=mesh)
+        self.scan_train_step = (
+            make_scan_train_step(workload.loss_fn, mesh=mesh)
+            if config.steps_per_call > 1
+            else None
+        )
         self.eval_step = make_eval_step(workload.loss_fn, mesh=mesh)
         self.metrics_step = (
             jax.jit(
@@ -130,7 +144,10 @@ class Trainer:
         thread (device_put_fn) so H2D overlaps the previous device step.
         Only applies to our DataLoader; torch-style iterables keep the
         in-loop transfer via _device_batch."""
-        if self.mesh is None:
+        if self.mesh is None or self.cfg.steps_per_call > 1:
+            # scan-steps mode stacks K host batches into one [K,B,...]
+            # transfer itself — per-batch loader-thread H2D would get in
+            # the way (device arrays can't be np.stack'd host-side).
             return
         mesh = self.mesh
 
@@ -154,7 +171,72 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def _train_epoch_scan(self, epoch: int) -> float:
+        """steps_per_call>1: group K host batches, stack them, and run K
+        optimizer steps in one jitted lax.scan dispatch. The tail group
+        (fewer than K batches) falls back to single-step dispatches."""
+        from automoe_tpu.parallel.mesh import shard_stacked_batch
+
+        k = self.cfg.steps_per_call
+        self.train_loader.set_epoch(epoch)
+        total, n = 0.0, 0
+        t0 = time.time()
+        group: list = []
+        pending: list = []
+
+        def flush_pending(limit: int):
+            nonlocal total, n
+            while len(pending) > limit:
+                loss = np.asarray(pending.pop(0))
+                total += float(loss.sum())
+                n += int(loss.size)
+
+        for batch in self.train_loader:
+            group.append(
+                {kk: v for kk, v in batch.items() if not isinstance(v, list)}
+            )
+            if len(group) < k:
+                continue
+            stacked = {
+                kk: np.stack([b[kk] for b in group]) for kk in group[0]
+            }
+            group = []
+            if self.mesh is not None:
+                stacked = shard_stacked_batch(stacked, self.mesh)
+            self.timer.start()
+            self.state, metrics = self.scan_train_step(
+                self.state, stacked, self.rng
+            )
+            pending.append(metrics["loss"])
+            flush_pending(max(0, self.cfg.max_inflight))
+            self.timer.stop()
+            step = int(self.state.step)
+            if step % self.cfg.log_every < k:
+                self.logger.log(
+                    step,
+                    {**{kk: float(np.asarray(v)[-1]) for kk, v in metrics.items()},
+                     **self.timer.stats()},
+                    prefix="train",
+                )
+        # tail: leftover batches run through the single-step path
+        for b in group:
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(b), self.rng
+            )
+            pending.append(metrics["loss"])
+        flush_pending(0)
+        avg = total / max(1, n)
+        self.logger.log(
+            int(self.state.step),
+            {"loss_epoch": avg, "epoch_seconds": time.time() - t0,
+             "steps_per_sec": n / max(time.time() - t0, 1e-9)},
+            prefix="train",
+        )
+        return avg
+
     def train_epoch(self, epoch: int) -> float:
+        if self.scan_train_step is not None:
+            return self._train_epoch_scan(epoch)
         self.train_loader.set_epoch(epoch)
         total, n = 0.0, 0
         t0 = time.time()

@@ -14,11 +14,33 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 from jax.sharding import Mesh
 
-from automoe_tpu.parallel.mesh import batch_sharding, replicate
+from automoe_tpu.parallel.mesh import (
+    batch_sharding,
+    replicate,
+    stacked_batch_sharding,
+)
 
 # loss_fn(params, batch_stats, batch, rng, train) ->
 #   (loss, (metrics, new_batch_stats))
 LossFn = Callable[..., Tuple[jax.Array, Tuple[Dict[str, jax.Array], Any]]]
+
+
+def _train_body(loss_fn: LossFn, state, batch, rng):
+    """One optimizer step: grad of loss_fn, apply, return (state, metrics).
+    The per-step RNG folds in state.step, so a scan over this body and a
+    sequence of single-step dispatches draw identical randomness."""
+    rng = jax.random.fold_in(rng, state.step)
+
+    def wrapped(params):
+        return loss_fn(params, state.batch_stats, batch, rng, True)
+
+    (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+        wrapped, has_aux=True
+    )(state.params)
+    new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+    metrics = dict(metrics)
+    metrics["loss"] = loss
+    return new_state, metrics
 
 
 def make_train_step(
@@ -27,18 +49,7 @@ def make_train_step(
     state_sharding: Any = None,
 ):
     def train_step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-
-        def wrapped(params):
-            return loss_fn(params, state.batch_stats, batch, rng, True)
-
-        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            wrapped, has_aux=True
-        )(state.params)
-        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        return new_state, metrics
+        return _train_body(loss_fn, state, batch, rng)
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
@@ -48,6 +59,39 @@ def make_train_step(
     state_sh = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_scan_train_step(
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+):
+    """K optimizer steps per dispatch: `lax.scan` of the train body over a
+    STACKED batch pytree [K, B, ...]. One host dispatch + one metrics
+    fetch amortize over K steps — the reference's per-step Python loop
+    (training/train_bdd100k_ddp.py:150-194) pays that host cost every
+    step and can't express this. Costs K batches of HBM for inputs;
+    metrics come back stacked [K]. K is the leading dim of the batches
+    (a new K recompiles — keep it fixed per run)."""
+
+    def scan_step(state, batches, rng):
+        def body(st, batch):
+            return _train_body(loss_fn, st, batch, rng)
+
+        return jax.lax.scan(body, state, batches)
+
+    if mesh is None:
+        return jax.jit(scan_step, donate_argnums=(0,))
+
+    repl = replicate(mesh)
+    data = stacked_batch_sharding(mesh)
+    state_sh = state_sharding if state_sharding is not None else repl
+    return jax.jit(
+        scan_step,
         in_shardings=(state_sh, data, repl),
         out_shardings=(state_sh, repl),
         donate_argnums=(0,),

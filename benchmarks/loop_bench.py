@@ -47,7 +47,7 @@ class SynthDetection:
         }
 
 
-def run(max_inflight, steps, batch_size, image_size=256):
+def run(max_inflight, steps, batch_size, image_size=256, steps_per_call=1):
     from automoe_tpu.data.loader import DataLoader
     from automoe_tpu.parallel.mesh import MeshSpec, make_mesh
     from automoe_tpu.train.loop import TrainConfig, Trainer
@@ -66,6 +66,7 @@ def run(max_inflight, steps, batch_size, image_size=256):
             runs_root=f"{tmp}/runs",
             log_every=10_000,  # keep logging fetches out of the timing
             max_inflight=max_inflight,
+            steps_per_call=steps_per_call,
         )
         trainer = Trainer(wl, loader, loader, cfg, mesh=make_mesh(MeshSpec()))
         trainer.train_epoch(0)  # epoch 0: compile + warm
@@ -74,6 +75,7 @@ def run(max_inflight, steps, batch_size, image_size=256):
         dt = time.perf_counter() - t0
     return {
         "max_inflight": max_inflight,
+        "steps_per_call": steps_per_call,
         "steps_per_sec": round(steps / dt, 2),
         "samples_per_sec": round(steps * batch_size / dt, 1),
         "ms_per_step": round(dt / steps * 1e3, 2),
@@ -92,6 +94,7 @@ if __name__ == "__main__":
 
     enable_compile_cache()
     print(json.dumps({"device": str(jax.devices()[0])}))
-    for mi in (0, 2):
+    for mi, spc in ((0, 1), (2, 1), (2, 4)):
         print(json.dumps(run(mi, args.steps, args.batch_size,
-                             image_size=args.image_size)))
+                             image_size=args.image_size,
+                             steps_per_call=spc)))

@@ -26,7 +26,8 @@ from automoe_tpu.train.workloads import bdd_expert_workload
 from automoe_tpu.utils import enable_compile_cache
 
 
-def run(matcher: str, batch_size: int = 32, image_size: int = 256):
+def run(matcher: str, batch_size: int = 32, image_size: int = 256,
+        dtype=jnp.float32):
     rng = np.random.default_rng(0)
     cap = 48
     batch = {
@@ -42,7 +43,8 @@ def run(matcher: str, batch_size: int = 32, image_size: int = 256):
         ),
     }
     wl = bdd_expert_workload(
-        "detection", image_size=image_size, box_cap=cap, matcher=matcher
+        "detection", image_size=image_size, box_cap=cap, matcher=matcher,
+        dtype=dtype,
     )
     variables = wl.init_variables(jax.random.key(0))
     tx = make_optimizer(learning_rate=2e-4, weight_decay=1e-4, total_steps=1000)
@@ -66,6 +68,7 @@ def run(matcher: str, batch_size: int = 32, image_size: int = 256):
     per = (t_hi - t_lo) / 12
     return {
         "matcher": matcher,
+        "dtype": jnp.dtype(dtype).name,
         "step_ms": round(per * 1e3, 2),
         "samples_per_sec": round(batch_size / per, 1),
     }
@@ -75,6 +78,9 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--matcher", default="auction_pallas",
                    choices=["auction", "hungarian", "auction_pallas", "both"])
+    p.add_argument("--dtype", default="fp32", choices=["fp32", "bf16", "both"],
+                   help="compute dtype (params/optimizer stay fp32 — the "
+                        "reference's AMP regime, train_bdd100k_ddp.py)")
     args = p.parse_args()
     enable_compile_cache()
     matchers = (
@@ -82,5 +88,10 @@ if __name__ == "__main__":
         if args.matcher == "both"
         else [args.matcher]
     )
+    dtypes = {
+        "fp32": [jnp.float32], "bf16": [jnp.bfloat16],
+        "both": [jnp.float32, jnp.bfloat16],
+    }[args.dtype]
     for m in matchers:
-        print(json.dumps(run(m)))
+        for dt in dtypes:
+            print(json.dumps(run(m, dtype=dt)))

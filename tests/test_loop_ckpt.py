@@ -190,3 +190,39 @@ def test_allreduce_val_sums_multiprocess(monkeypatch):
     sums, n = L._allreduce_val_sums({"loss": 6.0, "avg_iou": 1.0}, 4)
     assert n == 8
     assert sums == {"avg_iou": 3.0, "loss": 16.0}
+
+
+def test_trainer_scan_steps_per_call(tmp_path):
+    """steps_per_call=2 over 3 batches/epoch: one scanned dispatch (K=2)
+    plus a single-step tail; state.step advances per optimizer step and
+    the loop's loss averaging sees every step."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(
+        SyntheticSegDataset(12), batch_size=4, num_workers=1, shuffle=True
+    )
+    val = DataLoader(
+        SyntheticSegDataset(4, seed=1), batch_size=4, num_workers=1,
+        shuffle=False, drop_last=False,
+    )
+    cfg = TrainConfig(
+        epochs=2,
+        learning_rate=1e-3,
+        run_name="scan",
+        ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"),
+        log_every=1,
+        steps_per_call=2,
+    )
+    tr = Trainer(wl, train, val, cfg)
+    out = tr.fit()
+    assert np.isfinite(out["best_val_loss"])
+    # 3 batches/epoch x 2 epochs = 6 optimizer steps regardless of grouping
+    assert int(tr.state.step) == 6
+    # metrics were logged from inside the scanned groups too
+    metrics_file = (
+        tmp_path / "runs" / "bdd_drivable_scan" / "metrics.jsonl"
+    )
+    lines = [json.loads(l) for l in metrics_file.read_text().splitlines()]
+    assert any(
+        k.startswith("train/") for r in lines for k in r
+    ), lines[:3]
