@@ -67,6 +67,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--max-inflight", type=int, default=2,
                    help="train steps allowed in flight before the host "
                         "waits on the oldest (0 = sync every step)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the first trained "
+                        "epoch into this dir (TensorBoard/Perfetto)")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="K>1 scans K optimizer steps per jitted dispatch "
                         "(one stacked H2D + one fetch per K steps; K "
@@ -122,6 +125,7 @@ def _train_cfg(args) -> TrainConfig:
         resume_from=args.resume_from,
         max_inflight=getattr(args, "max_inflight", 2),
         steps_per_call=getattr(args, "steps_per_call", 1),
+        profile_dir=getattr(args, "profile_dir", None),
     )
 
 

@@ -70,6 +70,9 @@ class TrainConfig:
     # host cost the reference pays every step. Inputs for K steps live in
     # HBM at once; leftover batches at epoch end run single-step.
     steps_per_call: int = 1
+    # capture a jax.profiler trace (TensorBoard/Perfetto-viewable) of the
+    # FIRST trained epoch into this directory; includes compile time.
+    profile_dir: Optional[str] = None
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -299,7 +302,13 @@ class Trainer:
     def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:
         best = float("inf")
         for epoch in range(self.start_epoch, self.cfg.epochs):
-            train_loss = self.train_epoch(epoch)
+            if self.cfg.profile_dir and epoch == self.start_epoch:
+                from automoe_tpu.utils.profiling import trace
+
+                with trace(self.cfg.profile_dir):
+                    train_loss = self.train_epoch(epoch)
+            else:
+                train_loss = self.train_epoch(epoch)
             val_loss = self.validate(epoch)
             is_best = self.ckpt.save_epoch(self.state, epoch, val_loss, config_dump)
             best = min(best, val_loss)

@@ -226,3 +226,19 @@ def test_trainer_scan_steps_per_call(tmp_path):
     assert any(
         k.startswith("train/") for r in lines for k in r
     ), lines[:3]
+
+
+def test_trainer_profile_trace(tmp_path):
+    """profile_dir captures a jax.profiler trace of the first epoch."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(
+        SyntheticSegDataset(4), batch_size=4, num_workers=1, shuffle=True
+    )
+    cfg = TrainConfig(
+        epochs=1, learning_rate=1e-3, run_name="prof",
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+        profile_dir=str(tmp_path / "trace"),
+    )
+    Trainer(wl, train, train, cfg).fit()
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert any(p.is_file() for p in produced), produced
