@@ -77,13 +77,33 @@ class CheckpointManager:
             self._write(f"epoch_{epoch + 1}", payload, None)
         return is_best
 
+    def save_step(
+        self,
+        state,
+        epoch: int,
+        batch_index: int,
+        config: Optional[Dict] = None,
+    ) -> None:
+        """Mid-epoch 'step' checkpoint: the epoch payload plus the number
+        of batches already consumed this epoch, so resume can fast-forward
+        the (deterministically reshuffled) loader. The reference resumes
+        at epoch granularity only (train_bdd100k_ddp.py:536-545) — this is
+        the finer-grained production variant. No-op off process 0."""
+        if jax.process_index() != 0:
+            return
+        payload = self._payload(state, epoch, config)
+        payload["batch_index"] = np.asarray(batch_index)
+        self._write("step", payload, config)
+
     # -- restore ------------------------------------------------------------
 
     def restore(
         self, state, which: str = "best", mode: str = "full"
     ):
         """mode='model': params+batch_stats only; 'full': + optimizer/step.
-        Returns (state, epoch)."""
+        Returns (state, epoch); for which='step' checkpoints, returns
+        (state, epoch, batch_index) so the caller can skip the batches the
+        saved epoch already consumed."""
         path = (self.dir / which).resolve()
         template = {
             "step": np.asarray(state.step),
@@ -93,6 +113,8 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "best_val_loss": np.asarray(0.0, np.float64),
         }
+        if which == "step":
+            template["batch_index"] = np.asarray(0)
         payload = self._ckptr.restore(path, template)
         self.best_val = float(payload["best_val_loss"])
         epoch = int(payload["epoch"])
@@ -107,6 +129,8 @@ class CheckpointManager:
                 batch_stats=payload["batch_stats"],
                 opt_state=payload["opt_state"],
             )
+        if which == "step":
+            return state, epoch, int(payload["batch_index"])
         return state, epoch
 
 

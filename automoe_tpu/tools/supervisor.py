@@ -18,6 +18,11 @@ CLI:
       --max-restarts 3 --heartbeat runs/x/metrics.jsonl \
       --heartbeat-timeout 600 --resume-args "--resume full" -- \
       python -m automoe_tpu.train.cli gating ...
+
+For mid-epoch recovery, run the trainer with `--save-every-steps N` and
+supervise with `--resume-args "--resume full --resume-from step"` — the
+relaunch then skips the batches the crashed epoch already consumed
+(train/loop.py step checkpoints) instead of redoing the whole epoch.
 """
 from __future__ import annotations
 

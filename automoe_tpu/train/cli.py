@@ -41,7 +41,13 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--runs-root", default="runs")
     p.add_argument("--save-freq", type=int, default=0)
     p.add_argument("--resume", choices=["model", "full"], default=None)
-    p.add_argument("--resume-from", default="last")
+    p.add_argument("--resume-from", default="last",
+                   help="best | last | epoch_N | step (mid-epoch "
+                        "checkpoint written by --save-every-steps)")
+    p.add_argument("--save-every-steps", type=int, default=0,
+                   help="N>0 writes a mid-epoch 'step' checkpoint every N "
+                        "optimizer steps (resume with --resume full "
+                        "--resume-from step)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
@@ -126,6 +132,7 @@ def _train_cfg(args) -> TrainConfig:
         max_inflight=getattr(args, "max_inflight", 2),
         steps_per_call=getattr(args, "steps_per_call", 1),
         profile_dir=getattr(args, "profile_dir", None),
+        save_every_steps=getattr(args, "save_every_steps", 0),
     )
 
 

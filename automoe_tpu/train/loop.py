@@ -73,6 +73,10 @@ class TrainConfig:
     # capture a jax.profiler trace (TensorBoard/Perfetto-viewable) of the
     # FIRST trained epoch into this directory; includes compile time.
     profile_dir: Optional[str] = None
+    # N>0 writes a mid-epoch 'step' checkpoint every N optimizer steps;
+    # resume with resume='full', resume_from='step' to continue from the
+    # exact batch (the loader's per-epoch shuffle is deterministic).
+    save_every_steps: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -136,11 +140,19 @@ class Trainer:
         self.rng = jax.random.key(config.seed + 1)
         self.timer = StepTimer()
         self.start_epoch = 0
+        self.start_batch = 0  # batches of start_epoch already consumed
         if config.resume:
-            self.state, epoch = self.ckpt.restore(
+            restored = self.ckpt.restore(
                 self.state, which=config.resume_from, mode=config.resume
             )
-            self.start_epoch = epoch + 1 if config.resume == "full" else 0
+            if config.resume_from == "step":
+                self.state, epoch, batch_index = restored
+                if config.resume == "full":
+                    self.start_epoch = epoch
+                    self.start_batch = batch_index
+            else:
+                self.state, epoch = restored
+                self.start_epoch = epoch + 1 if config.resume == "full" else 0
 
     def _install_loader_transfer(self):
         """Move the host→device transfer into the DataLoader's producer
@@ -194,7 +206,9 @@ class Trainer:
                 total += float(loss.sum())
                 n += int(loss.size)
 
-        for batch in self.train_loader:
+        for i, batch in enumerate(self.train_loader):
+            if self._skip_resumed(epoch, i):
+                continue
             group.append(
                 {kk: v for kk, v in batch.items() if not isinstance(v, list)}
             )
@@ -213,6 +227,7 @@ class Trainer:
             pending.append(metrics["loss"])
             flush_pending(max(0, self.cfg.max_inflight))
             self.timer.stop()
+            self._maybe_save_step(epoch, i + 1)
             step = int(self.state.step)
             if step % self.cfg.log_every < k:
                 self.logger.log(
@@ -237,7 +252,27 @@ class Trainer:
         )
         return avg
 
+    def _skip_resumed(self, epoch: int, i: int) -> bool:
+        """True for batches the resumed 'step' checkpoint already consumed
+        (deterministic skip: set_epoch reseeds the shuffle identically)."""
+        return epoch == self.start_epoch and i < self.start_batch
+
+    def _maybe_save_step(self, epoch: int, consumed: int) -> None:
+        """Write the mid-epoch 'step' checkpoint when `consumed` batches
+        cross a save_every_steps boundary (works for any steps_per_call)."""
+        s = self.cfg.save_every_steps
+        if not s:
+            return
+        marker = consumed // s
+        if marker > self._step_save_marker:
+            self._step_save_marker = marker
+            self.ckpt.save_step(self.state, epoch, consumed)
+
     def train_epoch(self, epoch: int) -> float:
+        s = self.cfg.save_every_steps
+        self._step_save_marker = (
+            self.start_batch // s if s and epoch == self.start_epoch else 0
+        )
         if self.scan_train_step is not None:
             return self._train_epoch_scan(epoch)
         self.train_loader.set_epoch(epoch)
@@ -248,6 +283,8 @@ class Trainer:
         # round trip per step and the device never sits idle between steps
         pending: list = []
         for i, batch in enumerate(self.train_loader):
+            if self._skip_resumed(epoch, i):
+                continue
             self.timer.start()
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch), self.rng
@@ -257,6 +294,7 @@ class Trainer:
                 total += float(pending.pop(0))  # sync on the oldest step
                 n += 1
             self.timer.stop()
+            self._maybe_save_step(epoch, i + 1)
             step = int(self.state.step)
             if step % self.cfg.log_every == 0:
                 self.logger.log(

@@ -242,3 +242,80 @@ def test_trainer_profile_trace(tmp_path):
     Trainer(wl, train, train, cfg).fit()
     produced = list((tmp_path / "trace").rglob("*"))
     assert any(p.is_file() for p in produced), produced
+
+
+class _TruncatedLoader:
+    """Wraps a DataLoader, yielding only the first n batches — simulates a
+    run killed mid-epoch (the 'step' checkpoint survives)."""
+
+    def __init__(self, dl, n):
+        self.dl, self.n = dl, n
+
+    def __len__(self):
+        # full length: a crashed run had computed its LR schedule from the
+        # whole loader, only the iteration stopped early
+        return len(self.dl)
+
+    def set_epoch(self, e):
+        self.dl.set_epoch(e)
+
+    def __iter__(self):
+        for i, b in enumerate(self.dl):
+            if i >= self.n:
+                break
+            yield b
+
+
+def test_mid_epoch_step_resume(tmp_path):
+    """save_every_steps writes a mid-epoch 'step' checkpoint; resuming
+    from it skips the consumed batches and lands on the same final state
+    as an uninterrupted run (deterministic per-epoch shuffle + RNG folded
+    on state.step)."""
+
+    def loaders():
+        train = DataLoader(
+            SyntheticSegDataset(16), batch_size=4, num_workers=1, shuffle=True
+        )
+        val = DataLoader(
+            SyntheticSegDataset(4, seed=1), batch_size=4, num_workers=1,
+            shuffle=False, drop_last=False,
+        )
+        return train, val
+
+    def cfg(root, resume=None, resume_from="last"):
+        return TrainConfig(
+            epochs=1, learning_rate=1e-3, run_name="sr",
+            ckpt_root=str(root / "ckpt"), runs_root=str(root / "runs"),
+            save_every_steps=2, resume=resume, resume_from=resume_from,
+        )
+
+    wl = bdd_expert_workload("drivable", image_size=32)
+
+    # interrupted run: only 2 of 4 batches before the "crash"
+    train, val = loaders()
+    Trainer(wl, _TruncatedLoader(train, 2), val, cfg(tmp_path)).fit()
+    assert (tmp_path / "ckpt" / "bdd_drivable" / "sr" / "step").exists()
+
+    # resume from the step checkpoint with the FULL loader
+    train, val = loaders()
+    tr_b = Trainer(
+        wl, train, val, cfg(tmp_path, resume="full", resume_from="step")
+    )
+    assert tr_b.start_epoch == 0 and tr_b.start_batch == 2
+    assert int(tr_b.state.step) == 2
+    tr_b.fit()
+    assert int(tr_b.state.step) == 4
+
+    # control: uninterrupted run in a fresh dir
+    ctl = tmp_path / "ctl"
+    train, val = loaders()
+    tr_c = Trainer(wl, train, val, cfg(ctl))
+    tr_c.fit()
+    assert int(tr_c.state.step) == 4
+
+    for a, b in zip(
+        jax.tree.leaves(tr_b.state.params), jax.tree.leaves(tr_c.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
