@@ -73,11 +73,6 @@ def _make_ep_body(
             f"EP needs mesh model axis == {E} experts, got "
             f"{mesh.shape[MODEL_AXIS]}"
         )
-    if cfg.context.type != "simple":
-        raise NotImplementedError(
-            "EP body supports the 'simple' context extractor (the shipped "
-            "composite config); use the dense path for 'full'."
-        )
     det = (not train) if dropout_deterministic is None else dropout_deterministic
 
     def expert_branch(i):
@@ -175,15 +170,31 @@ def _make_ep_body(
         ctx_rngs = (
             {"dropout": jax.random.fold_in(rng_shard, 1)} if train else None
         )
-        context_features = ctx_extractor.apply(
-            {"params": variables["params"]["context_extractor"]},
-            _last_step(batch["speed"]) if "speed" in batch else zeros,
-            _last_step(batch["steering"]) if "steering" in batch else zeros,
-            _last_step(batch["throttle"]) if "throttle" in batch else zeros,
-            _last_step(batch["brake"]) if "brake" in batch else zeros,
-            deterministic=det,
-            rngs=ctx_rngs,
-        )
+        ctx_vars = {"params": variables["params"]["context_extractor"]}
+        speed = _last_step(batch["speed"]) if "speed" in batch else zeros
+        steering = _last_step(batch["steering"]) if "steering" in batch else zeros
+        throttle = _last_step(batch["throttle"]) if "throttle" in batch else zeros
+        brake = _last_step(batch["brake"]) if "brake" in batch else zeros
+        if cfg.context.type == "simple":
+            context_features = ctx_extractor.apply(
+                ctx_vars, speed, steering, throttle, brake,
+                deterministic=det, rngs=ctx_rngs,
+            )
+        else:  # 'full' — same context_data schema as the dense composite
+            # (models/automoe.py:110-120; reference context_features.py)
+            context_data = {
+                "speed": speed,
+                "steering": steering,
+                "throttle": throttle,
+                "brake": brake,
+                "hour": batch.get("hour", zeros),
+                "minute": batch.get("minute", zeros),
+                "weather": batch.get("weather", {}),
+                "road": batch.get("road", {}),
+            }
+            context_features = ctx_extractor.apply(
+                ctx_vars, context_data, deterministic=det, rngs=ctx_rngs,
+            )
         gating_rngs = (
             {
                 "dropout": jax.random.fold_in(rng_shard, 2),

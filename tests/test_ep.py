@@ -228,3 +228,50 @@ def test_ep_train_mode_sharded_smoke(rng):
                         jax.tree.leaves(fresh().batch_stats))
     )
     assert changed, "EP train step did not update any batch_stats"
+
+
+@pytest.mark.slow
+def test_ep_forward_full_context_matches_dense(rng):
+    """EP with the 'full' context extractor (weather/time/road features)
+    matches the dense composite — the r1 simple-only restriction is
+    lifted; context runs replicated along 'model' like the rest of the
+    non-expert graph."""
+    cfg = load_model_config({**CFG, "context": {"type": "full"}})
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    model = create_automoe_model(cfg)
+
+    B = 4
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 64, 64, 3)).astype(np.float32)),
+        "lidar": jnp.zeros((B, 16, 3), jnp.float32),
+        "speed": jnp.asarray(rng.uniform(size=(B, 1)).astype(np.float32)),
+        "steering": jnp.zeros((B, 1), jnp.float32),
+        "throttle": jnp.zeros((B, 1), jnp.float32),
+        "brake": jnp.zeros((B, 1), jnp.float32),
+        "hour": jnp.full((B, 1), 14.0, jnp.float32),
+        "minute": jnp.full((B, 1), 30.0, jnp.float32),
+        "weather": {
+            "rain": jnp.full((B, 1), 0.3, jnp.float32),
+            "fog": jnp.zeros((B, 1), jnp.float32),
+            "wetness": jnp.full((B, 1), 0.1, jnp.float32),
+            "sun_angle": jnp.full((B, 1), 0.7, jnp.float32),
+        },
+        "road": {
+            "road_type": jnp.ones((B, 1), jnp.float32),
+            "lane_count": jnp.full((B, 1), 2.0, jnp.float32),
+            "curvature": jnp.full((B, 1), 0.05, jnp.float32),
+        },
+    }
+    variables = jit_init(model, jax.random.key(0), batch)
+    dense = model.apply(variables, batch)
+
+    ep_fn = make_ep_forward(cfg, mesh)
+    ep = ep_fn(
+        jax.device_put(variables, replicate(mesh)), shard_batch(batch, mesh)
+    )
+    for key in ("waypoints", "expert_weights", "context_features",
+                "combined_features"):
+        np.testing.assert_allclose(
+            np.asarray(ep[key]), np.asarray(dense[key]), rtol=2e-4, atol=1e-5,
+            err_msg=key,
+        )
