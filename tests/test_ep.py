@@ -275,3 +275,65 @@ def test_ep_forward_full_context_matches_dense(rng):
             np.asarray(ep[key]), np.asarray(dense[key]), rtol=2e-4, atol=1e-5,
             err_msg=key,
         )
+
+
+@pytest.mark.slow
+def test_ep_scan_steps_compose(rng):
+    """steps_per_call composes with EP: a lax.scan of the EP workload's
+    train step (shard_map inside scan) matches two sequential EP steps —
+    the Trainer's scan path works for `gating --parallelism ep
+    --steps-per-call K`."""
+    import optax
+
+    from automoe_tpu.parallel.ep import ep_gating_workload
+    from automoe_tpu.parallel.mesh import shard_stacked_batch
+    from automoe_tpu.train import (
+        TrainState,
+        make_scan_train_step,
+        make_train_step,
+    )
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    wl = ep_gating_workload(CFG, mesh, image_size=64, freeze_experts=False)
+    variables = wl.init_variables(jax.random.key(0))
+    tx = optax.sgd(0.05)
+
+    K, B = 2, 4
+    stacked = {
+        "image": np.asarray(rng.normal(size=(K, B, 64, 64, 3)), np.float32),
+        "lidar": np.zeros((K, B, 16, 3), np.float32),
+        "speed": np.ones((K, B, 4), np.float32),
+        "steering": np.zeros((K, B, 4), np.float32),
+        "throttle": np.zeros((K, B, 4), np.float32),
+        "brake": np.zeros((K, B, 4), np.float32),
+        "waypoints": np.asarray(rng.normal(size=(K, B, 4, 2)), np.float32),
+    }
+
+    def fresh():
+        return TrainState.create(
+            params=jax.tree.map(jnp.array, variables["params"]), tx=tx,
+            batch_stats=jax.tree.map(jnp.array, variables.get("batch_stats", {})),
+        )
+
+    key = jax.random.key(5)
+    seq_step = make_train_step(wl.loss_fn, mesh=mesh)
+    s1 = jax.device_put(fresh(), replicate(mesh))
+    seq_losses = []
+    for i in range(K):
+        b = {k: v[i] for k, v in stacked.items()}
+        s1, m = seq_step(s1, shard_batch(b, mesh), key)
+        seq_losses.append(float(m["loss"]))
+
+    scan_step = make_scan_train_step(wl.loss_fn, mesh=mesh)
+    s2, m2 = scan_step(
+        jax.device_put(fresh(), replicate(mesh)),
+        shard_stacked_batch(stacked, mesh),
+        key,
+    )
+    np.testing.assert_allclose(
+        np.asarray(seq_losses), np.asarray(m2["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
+        )
