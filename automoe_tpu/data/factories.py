@@ -30,6 +30,20 @@ NUSCENES_ROOT = "datasets/nuscenes/preprocessed"
 CARLA_ROOT = "datasets/carla/preprocessed"
 
 
+def _packed_dataset(packed_root, split):
+    """Open <packed_root>/<split> as a packed frame cache — native C++
+    reader when it builds, python memmap reader otherwise."""
+    d = Path(packed_root) / split
+    try:
+        from automoe_tpu.data.native_packed import NativePackedDataset
+
+        return NativePackedDataset(d)
+    except Exception:
+        from automoe_tpu.data.packed import PackedFrameDataset
+
+        return PackedFrameDataset(d)
+
+
 def _mk_loader(dataset, split, batch_size, num_workers, shuffle, **kw):
     if shuffle is None:
         shuffle = split == "train"
@@ -45,74 +59,101 @@ def _mk_loader(dataset, split, batch_size, num_workers, shuffle, **kw):
 
 def get_bdd_detection_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=BDD_DETECTION_ROOT, box_cap=48, **kw,
+    root_dir=BDD_DETECTION_ROOT, box_cap=48, packed_root=None, **kw,
 ):
-    ds = BDDDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = BDDDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_bdd_segmentation_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=BDD_SEGMENTATION_ROOT, raw_root=None, **kw,
+    root_dir=BDD_SEGMENTATION_ROOT, raw_root=None, packed_root=None, **kw,
 ):
-    ds = BDDSegmentationDataset(Path(root_dir) / split, raw_root=raw_root)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = BDDSegmentationDataset(Path(root_dir) / split, raw_root=raw_root)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_bdd_drivable_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=BDD_DRIVABLE_ROOT, base_dir=None, raw_root=None, **kw,
+    root_dir=BDD_DRIVABLE_ROOT, base_dir=None, raw_root=None, packed_root=None, **kw,
 ):
     root = base_dir if base_dir is not None else root_dir
-    ds = BDDDrivableDataset(Path(root) / split, raw_root=raw_root)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = BDDDrivableDataset(Path(root) / split, raw_root=raw_root)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_nuscenes_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=NUSCENES_ROOT, lidar_cap=8192, box_cap=64, **kw,
+    root_dir=NUSCENES_ROOT, lidar_cap=8192, box_cap=64, packed_root=None, **kw,
 ):
-    ds = NuScenesDataset(Path(root_dir) / split, lidar_cap=lidar_cap, box_cap=box_cap)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = NuScenesDataset(Path(root_dir) / split, lidar_cap=lidar_cap, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_carla_sequence_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=CARLA_ROOT, horizon=8, stride=1, include_context=True, past=0, **kw,
+    root_dir=CARLA_ROOT, horizon=8, stride=1, include_context=True, past=0,
+    packed_root=None, **kw,
 ):
     del past  # reserved-but-unused in the reference too
-    ds = CarlaSequenceDataset(
-        Path(root_dir) / split,
-        horizon=horizon,
-        stride=stride,
-        include_context=include_context,
-    )
+    if packed_root:
+        # a pack_carla_sequences cache (automoe-pack carla-sequences)
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = CarlaSequenceDataset(
+            Path(root_dir) / split,
+            horizon=horizon,
+            stride=stride,
+            include_context=include_context,
+        )
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_carla_detection_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=CARLA_ROOT, box_cap=48, **kw,
+    root_dir=CARLA_ROOT, box_cap=48, packed_root=None, **kw,
 ):
-    ds = CarlaDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = CarlaDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_carla_segmentation_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=CARLA_ROOT, **kw,
+    root_dir=CARLA_ROOT, packed_root=None, **kw,
 ):
-    ds = CarlaSegmentationDataset(Path(root_dir) / split)
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = CarlaSegmentationDataset(Path(root_dir) / split)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 
 def get_carla_drivable_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=CARLA_ROOT, drivable_ids=None, alternative_ids=None, **kw,
+    root_dir=CARLA_ROOT, drivable_ids=None, alternative_ids=None,
+    packed_root=None, **kw,
 ):
-    ds = CarlaDrivableDataset(
-        Path(root_dir) / split,
-        drivable_ids=drivable_ids,
-        alternative_ids=alternative_ids,
-    )
+    if packed_root:
+        ds = _packed_dataset(packed_root, split)
+    else:
+        ds = CarlaDrivableDataset(
+            Path(root_dir) / split,
+            drivable_ids=drivable_ids,
+            alternative_ids=alternative_ids,
+        )
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)

@@ -28,7 +28,9 @@ _LIB = _LIB_DIR / "libpacked_reader.so"
 _lock = threading.Lock()
 _lib_handle: Optional[ctypes.CDLL] = None
 
-_DTYPES = {0: np.float32, 1: np.float16}
+_DTYPES = {0: np.float32, 1: np.float16, 2: np.int32}
+# what read_batch materializes per stored dtype (f16 widens to f32)
+_OUT_DTYPES = {0: np.float32, 1: np.float32, 2: np.int32}
 
 
 def _build() -> None:
@@ -101,6 +103,7 @@ class NativePackedDataset:
         self.n = int(lib.pr_num_samples(handle))
         self.fields: Dict[str, int] = {}
         self.row_shapes: Dict[str, tuple] = {}
+        self.out_dtypes: Dict[str, np.dtype] = {}
         for f in range(lib.pr_num_fields(handle)):
             name = lib.pr_field_name(handle, f).decode()
             rank = lib.pr_field_rank(handle, f)
@@ -108,6 +111,7 @@ class NativePackedDataset:
             lib.pr_field_shape(handle, f, shape)
             self.fields[name] = f
             self.row_shapes[name] = tuple(shape[i] for i in range(rank))
+            self.out_dtypes[name] = _OUT_DTYPES[lib.pr_field_dtype(handle, f)]
 
     def __len__(self) -> int:
         return self.n
@@ -118,7 +122,7 @@ class NativePackedDataset:
         idx_p = idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
         out: Dict[str, np.ndarray] = {}
         for name, f in self.fields.items():
-            buf = np.empty((b, *self.row_shapes[name]), np.float32)
+            buf = np.empty((b, *self.row_shapes[name]), self.out_dtypes[name])
             rc = self._lib.pr_read_batch(
                 self._handle, f, idx_p, b,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

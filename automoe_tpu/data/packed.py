@@ -107,3 +107,89 @@ class PackedSequenceDataset:
             for k, v in self._mm.items()
             if v is not None
         }
+
+
+# --- generic per-frame packing (BDD / nuScenes / CARLA frame tasks) -----
+
+#: float fields at least this many elements per row are stored float16
+#: (images; halves the disk + mmap-read volume), smaller float fields and
+#: all integer fields keep full width.
+_F16_MIN_ROW_ELEMS = 4096
+
+
+def _pack_dtype(name: str, arr: np.ndarray) -> np.dtype:
+    if np.issubdtype(arr.dtype, np.integer):
+        return np.int32
+    if arr.size >= _F16_MIN_ROW_ELEMS:
+        return np.float16
+    return np.float32
+
+
+def pack_frames(dataset, out_dir) -> int:
+    """Pack ANY fixed-shape frame dataset (samples = dict of arrays, e.g.
+    BDDDetectionDataset / BDDSegmentationDataset / NuScenesDataset) into a
+    columnar memmap cache: one .npy per field + index.json. Read back with
+    `PackedFrameDataset` (python) or `NativePackedDataset` (C++ threaded
+    gather). Non-array sample entries (paths, metas) are skipped.
+
+    The reference pipeline decodes images from disk per sample every epoch
+    (dataloaders/bdd_detection_loader.py); packing pays that decode once.
+    """
+    n = len(dataset)
+    if n == 0:
+        return 0
+    first = dataset[0]
+    fields = {
+        k: v for k, v in first.items()
+        if isinstance(v, np.ndarray) and v.dtype != object
+    }
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    mm = {
+        k: np.lib.format.open_memmap(
+            out / f"{k}.npy", mode="w+", dtype=_pack_dtype(k, v),
+            shape=(n, *v.shape),
+        )
+        for k, v in fields.items()
+    }
+    for i in range(n):
+        s = dataset[i] if i else first
+        for k in mm:
+            mm[k][i] = s[k]
+    for m in mm.values():
+        m.flush()
+    (out / "index.json").write_text(json.dumps({"n": n, "kind": "frames"}))
+    return n
+
+
+class PackedFrameDataset:
+    """Reader for `pack_frames` caches: float16 fields widen to float32,
+    int32 fields stay int32. Exposes the same `read_batch` fast path the
+    DataLoader auto-detects; `NativePackedDataset` is the faster drop-in."""
+
+    def __init__(self, packed_dir):
+        self.dir = Path(packed_dir)
+        index = json.loads((self.dir / "index.json").read_text())
+        self.n = index["n"]
+        self._mm = {
+            p.stem: np.load(p, mmap_mode="r")
+            for p in sorted(self.dir.glob("*.npy"))
+        }
+
+    @staticmethod
+    def _out_dtype(arr) -> np.dtype:
+        return np.int32 if np.issubdtype(arr.dtype, np.integer) else np.float32
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        return {
+            k: np.asarray(v[i], self._out_dtype(v)) for k, v in self._mm.items()
+        }
+
+    def read_batch(self, indices) -> Dict[str, np.ndarray]:
+        idx = np.asarray(indices, np.int64)
+        return {
+            k: v[idx].astype(self._out_dtype(v)) for k, v in self._mm.items()
+        }

@@ -40,6 +40,16 @@ def _auction_phase(benefit, valid, price, eps, max_iters):
     (price, person_obj [B,N]).
     """
     B, N, Q = benefit.shape
+    if Q == 1:
+        # one object: the auction degenerates (top_k(2) is ill-defined and
+        # bidders would thrash until max_iters). The optimal assignment is
+        # direct: the valid person with max benefit takes object 0.
+        vals = jnp.where(valid, benefit[..., 0], _NEG)  # [B,N]
+        best_person = jnp.argmax(vals, axis=1)  # [B]
+        person_obj = jnp.where(
+            (jnp.arange(N)[None, :] == best_person[:, None]) & valid, 0, -1
+        ).astype(jnp.int32)
+        return price, person_obj
 
     def cond(state):
         _, person_obj, it = state

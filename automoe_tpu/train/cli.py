@@ -31,6 +31,10 @@ from automoe_tpu.utils import enable_compile_cache
 
 def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data-root", required=False, default=None)
+    p.add_argument("--packed-root", required=False, default=None,
+                   help="packed columnar cache root (automoe-pack output; "
+                        "<root>/{train,val}) — read via the native C++ "
+                        "batch gather instead of per-sample .pt loads")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=2e-4)
@@ -147,6 +151,8 @@ def _loaders(factory, args, **kw):
     )
     if args.data_root:
         common["root_dir"] = args.data_root
+    if getattr(args, "packed_root", None):
+        common["packed_root"] = args.packed_root
     train = factory(split="train", **common, **kw)
     val = factory(split="val", shuffle=False, **common, **kw)
     return train, val

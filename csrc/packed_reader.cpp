@@ -29,7 +29,7 @@
 
 namespace {
 
-enum DType : int { kF32 = 0, kF16 = 1 };
+enum DType : int { kF32 = 0, kF16 = 1, kI32 = 2 };
 
 struct Field {
   std::string name;
@@ -116,6 +116,7 @@ bool parse_npy(const uint8_t* p, size_t len, Field* f) {
   std::string descr = find_val("'descr'");
   if (descr.find("<f4") != std::string::npos) f->dtype = kF32;
   else if (descr.find("<f2") != std::string::npos) f->dtype = kF16;
+  else if (descr.find("<i4") != std::string::npos) f->dtype = kI32;
   else return false;  // unsupported dtype
 
   std::string fortran = find_val("'fortran_order'");
@@ -143,7 +144,7 @@ bool parse_npy(const uint8_t* p, size_t len, Field* f) {
   f->row_shape.assign(dims.begin() + 1, dims.end());
   f->row_elems = 1;
   for (int64_t d : f->row_shape) f->row_elems *= d;
-  const int64_t esize = (f->dtype == kF32) ? 4 : 2;
+  const int64_t esize = (f->dtype == kF16) ? 2 : 4;
   f->row_bytes = f->row_elems * esize;
   f->data = p + header_off + header_len;
   if (static_cast<size_t>(f->n * f->row_bytes)
@@ -152,9 +153,12 @@ bool parse_npy(const uint8_t* p, size_t len, Field* f) {
   return true;
 }
 
+// out points at a buffer of the field's OUTPUT element type: float32 for
+// f32/f16 fields (f16 converts through the table), int32 for i32 fields
+// (4-byte rows copy verbatim — the branch below is dtype-agnostic).
 void gather_rows(const Field& f, const int64_t* idx, int64_t lo, int64_t hi,
                  float* out) {
-  if (f.dtype == kF32) {
+  if (f.dtype != kF16) {
     for (int64_t i = lo; i < hi; ++i) {
       std::memcpy(out + i * f.row_elems, f.data + idx[i] * f.row_bytes,
                   f.row_bytes);

@@ -91,3 +91,26 @@ def test_auction_empty_targets(rng):
     qi, valid = auction_match(logits, boxes, tb, tl)
     assert not bool(np.asarray(valid).any())
     assert np.isfinite(np.asarray(qi)).all()
+
+
+def test_auction_single_query_matches_hungarian(rng):
+    """Q=1 degenerate case (a detection expert at tiny image sizes has a
+    single query): the auction shortcut matches the scipy-optimal
+    assignment — the best target gets the query, the rest stay unmatched
+    (previously top_k(2) over one query crashed at trace time)."""
+    logits, boxes, tb, tl, counts = _random_problem(rng, B=4, Q=1, N=6)
+    qi, valid = auction_match(logits, boxes, tb, tl)
+    qi, valid = np.asarray(qi), np.asarray(valid)
+    for b in range(len(counts)):
+        n = int(counts[b])
+        assert valid[b].sum() == min(n, 1), (b, valid[b], n)
+        if n == 0:
+            continue
+        cost = np.asarray(
+            match_cost_matrix(logits[b], boxes[b], tb[b], tl[b])
+        )[:, :n]  # [1, n]
+        matched_t = int(np.argmax(valid[b][:n]))
+        ri, ci = linear_sum_assignment(cost.astype(np.float64))
+        np.testing.assert_allclose(
+            cost[0, matched_t], cost[ri, ci].sum(), rtol=1e-5
+        )
