@@ -75,6 +75,14 @@ class CheckpointManager:
             self._write("best", payload, None)
         if self.save_freq and (epoch + 1) % self.save_freq == 0:
             self._write(f"epoch_{epoch + 1}", payload, None)
+        # the epoch is complete: any mid-epoch 'step' checkpoint is stale
+        # now (restoring it would retrain this epoch's tail and roll back
+        # best_val) — drop it; restore(which='step') falls back to 'last'.
+        step_dir = (self.dir / "step").resolve()
+        if step_dir.exists():
+            import shutil
+
+            shutil.rmtree(step_dir)
         return is_best
 
     def save_step(
@@ -103,8 +111,14 @@ class CheckpointManager:
         """mode='model': params+batch_stats only; 'full': + optimizer/step.
         Returns (state, epoch); for which='step' checkpoints, returns
         (state, epoch, batch_index) so the caller can skip the batches the
-        saved epoch already consumed."""
+        saved epoch already consumed. If no 'step' checkpoint exists (the
+        last epoch completed cleanly and superseded it), falls back to
+        'last' — so a supervisor can always relaunch with
+        --resume-from step regardless of where the crash landed."""
         path = (self.dir / which).resolve()
+        if which == "step" and not path.exists():
+            state, epoch = self.restore(state, which="last", mode=mode)
+            return state, epoch + 1, 0
         template = {
             "step": np.asarray(state.step),
             "epoch": np.asarray(0),

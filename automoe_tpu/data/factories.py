@@ -30,18 +30,38 @@ NUSCENES_ROOT = "datasets/nuscenes/preprocessed"
 CARLA_ROOT = "datasets/carla/preprocessed"
 
 
-def _packed_dataset(packed_root, split):
+def _packed_dataset(packed_root, split, expect: Optional[dict] = None):
     """Open <packed_root>/<split> as a packed frame cache — native C++
-    reader when it builds, python memmap reader otherwise."""
+    reader when it builds, python memmap reader otherwise.
+
+    `expect` maps field -> expected leading row dim (e.g. {'bboxes': 48}
+    for box_cap): the cache was built with its own caps/horizon, and a
+    silent mismatch would surface as an opaque shape error deep inside
+    the jitted loss — validate it here instead."""
     d = Path(packed_root) / split
     try:
         from automoe_tpu.data.native_packed import NativePackedDataset
 
-        return NativePackedDataset(d)
+        ds = NativePackedDataset(d)
     except Exception:
         from automoe_tpu.data.packed import PackedFrameDataset
 
-        return PackedFrameDataset(d)
+        ds = PackedFrameDataset(d)
+    for field, want in (expect or {}).items():
+        if want is None:
+            continue
+        if hasattr(ds, "row_shapes"):
+            shape = ds.row_shapes.get(field)
+        else:
+            arr = getattr(ds, "_mm", {}).get(field)
+            shape = tuple(arr.shape[1:]) if arr is not None else None
+        if shape and shape[0] != want:
+            raise ValueError(
+                f"packed cache {d} was built with {field} leading dim "
+                f"{shape[0]}, but the loader requested {want} — repack "
+                f"with automoe-pack or match the CLI flags to the cache"
+            )
+    return ds
 
 
 def _mk_loader(dataset, split, batch_size, num_workers, shuffle, **kw):
@@ -62,7 +82,7 @@ def get_bdd_detection_loader(
     root_dir=BDD_DETECTION_ROOT, box_cap=48, packed_root=None, **kw,
 ):
     if packed_root:
-        ds = _packed_dataset(packed_root, split)
+        ds = _packed_dataset(packed_root, split, expect={"bboxes": box_cap})
     else:
         ds = BDDDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
@@ -96,7 +116,10 @@ def get_nuscenes_loader(
     root_dir=NUSCENES_ROOT, lidar_cap=8192, box_cap=64, packed_root=None, **kw,
 ):
     if packed_root:
-        ds = _packed_dataset(packed_root, split)
+        ds = _packed_dataset(
+            packed_root, split,
+            expect={"lidar": lidar_cap, "boxes": box_cap},
+        )
     else:
         ds = NuScenesDataset(Path(root_dir) / split, lidar_cap=lidar_cap, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
@@ -110,7 +133,9 @@ def get_carla_sequence_loader(
     del past  # reserved-but-unused in the reference too
     if packed_root:
         # a pack_carla_sequences cache (automoe-pack carla-sequences)
-        ds = _packed_dataset(packed_root, split)
+        ds = _packed_dataset(
+            packed_root, split, expect={"waypoints": horizon}
+        )
     else:
         ds = CarlaSequenceDataset(
             Path(root_dir) / split,
@@ -126,7 +151,7 @@ def get_carla_detection_loader(
     root_dir=CARLA_ROOT, box_cap=48, packed_root=None, **kw,
 ):
     if packed_root:
-        ds = _packed_dataset(packed_root, split)
+        ds = _packed_dataset(packed_root, split, expect={"bboxes": box_cap})
     else:
         ds = CarlaDetectionDataset(Path(root_dir) / split, box_cap=box_cap)
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)

@@ -45,9 +45,14 @@ class ShardedSampler:
         self.drop_last = drop_last
         self.batch_size = batch_size
         self.epoch = 0
+        self.skip_batches = 0
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """skip_batches: start the epoch's (deterministic) batch stream
+        that many batches in — mid-epoch resume skips at the INDEX level,
+        never loading the already-consumed samples."""
         self.epoch = epoch
+        self.skip_batches = skip_batches
 
     def _per_shard(self) -> int:
         if self.drop_last:
@@ -73,10 +78,10 @@ class ShardedSampler:
             idx = np.resize(idx, total)
         idx = idx[self.shard_index :: self.num_shards]
         n_full = len(idx) // self.batch_size
-        for b in range(n_full):
+        for b in range(min(self.skip_batches, n_full), n_full):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size].tolist()
         rem = idx[n_full * self.batch_size :]
-        if len(rem) and not self.drop_last:
+        if len(rem) and not self.drop_last and self.skip_batches <= n_full:
             # repeat-pad the final batch to keep shapes static
             pad = np.resize(rem, self.batch_size)
             yield pad.tolist()
@@ -122,8 +127,8 @@ class DataLoader:
             batch_size=batch_size,
         )
 
-    def set_epoch(self, epoch: int) -> None:
-        self.sampler.set_epoch(epoch)
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        self.sampler.set_epoch(epoch, skip_batches)
 
     def __len__(self) -> int:
         return len(self.sampler)

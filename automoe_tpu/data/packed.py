@@ -111,16 +111,18 @@ class PackedSequenceDataset:
 
 # --- generic per-frame packing (BDD / nuScenes / CARLA frame tasks) -----
 
-#: float fields at least this many elements per row are stored float16
-#: (images; halves the disk + mmap-read volume), smaller float fields and
-#: all integer fields keep full width.
+#: image fields at least this many elements per row are stored float16
+#: (halves the disk + mmap-read volume; normalized pixel data tolerates
+#: half precision). All other float fields keep float32 — notably lidar
+#: point clouds, where f16 would quantize metric coordinates — and
+#: integer fields (labels, masks) are int32.
 _F16_MIN_ROW_ELEMS = 4096
 
 
 def _pack_dtype(name: str, arr: np.ndarray) -> np.dtype:
     if np.issubdtype(arr.dtype, np.integer):
         return np.int32
-    if arr.size >= _F16_MIN_ROW_ELEMS:
+    if "image" in name and arr.size >= _F16_MIN_ROW_ELEMS:
         return np.float16
     return np.float32
 

@@ -193,7 +193,7 @@ class Trainer:
         from automoe_tpu.parallel.mesh import shard_stacked_batch
 
         k = self.cfg.steps_per_call
-        self.train_loader.set_epoch(epoch)
+        consumed0, skip_in_loop = self._set_epoch_with_skip(epoch)
         total, n = 0.0, 0
         t0 = time.time()
         group: list = []
@@ -207,8 +207,14 @@ class Trainer:
                 n += int(loss.size)
 
         for i, batch in enumerate(self.train_loader):
-            if self._skip_resumed(epoch, i):
+            if i < skip_in_loop:
                 continue
+            if any(isinstance(v, jax.Array) for v in batch.values()):
+                raise ValueError(
+                    "steps_per_call > 1 stacks host batches itself — don't "
+                    "configure the DataLoader with a device_put_fn in scan "
+                    "mode (the Trainer skips installing its own)."
+                )
             group.append(
                 {kk: v for kk, v in batch.items() if not isinstance(v, list)}
             )
@@ -227,7 +233,7 @@ class Trainer:
             pending.append(metrics["loss"])
             flush_pending(max(0, self.cfg.max_inflight))
             self.timer.stop()
-            self._maybe_save_step(epoch, i + 1)
+            self._maybe_save_step(epoch, consumed0 + i + 1)
             step = int(self.state.step)
             if step % self.cfg.log_every < k:
                 self.logger.log(
@@ -244,18 +250,32 @@ class Trainer:
             pending.append(metrics["loss"])
         flush_pending(0)
         avg = total / max(1, n)
+        self._log_epoch_summary(avg, n, t0)
+        return avg
+
+    def _set_epoch_with_skip(self, epoch: int):
+        """Reshuffle for `epoch` and, when resuming this epoch mid-way,
+        skip the consumed batches — at the sampler INDEX level when the
+        loader supports it (nothing is loaded for skipped batches), else
+        by discarding in the loop. Returns (consumed0, skip_in_loop):
+        consumed0 = batches already accounted before enumerate's i=0."""
+        skip = self.start_batch if epoch == self.start_epoch else 0
+        if skip:
+            try:
+                self.train_loader.set_epoch(epoch, skip_batches=skip)
+                return skip, 0
+            except TypeError:  # torch-style loader without skip support
+                pass
+        self.train_loader.set_epoch(epoch)
+        return 0, skip
+
+    def _log_epoch_summary(self, avg: float, n: int, t0: float) -> None:
         self.logger.log(
             int(self.state.step),
             {"loss_epoch": avg, "epoch_seconds": time.time() - t0,
              "steps_per_sec": n / max(time.time() - t0, 1e-9)},
             prefix="train",
         )
-        return avg
-
-    def _skip_resumed(self, epoch: int, i: int) -> bool:
-        """True for batches the resumed 'step' checkpoint already consumed
-        (deterministic skip: set_epoch reseeds the shuffle identically)."""
-        return epoch == self.start_epoch and i < self.start_batch
 
     def _maybe_save_step(self, epoch: int, consumed: int) -> None:
         """Write the mid-epoch 'step' checkpoint when `consumed` batches
@@ -275,7 +295,7 @@ class Trainer:
         )
         if self.scan_train_step is not None:
             return self._train_epoch_scan(epoch)
-        self.train_loader.set_epoch(epoch)
+        consumed0, skip_in_loop = self._set_epoch_with_skip(epoch)
         total, n = 0.0, 0
         t0 = time.time()
         # bounded pipeline: keep ≤ max_inflight dispatched steps pending,
@@ -283,7 +303,7 @@ class Trainer:
         # round trip per step and the device never sits idle between steps
         pending: list = []
         for i, batch in enumerate(self.train_loader):
-            if self._skip_resumed(epoch, i):
+            if i < skip_in_loop:
                 continue
             self.timer.start()
             self.state, metrics = self.train_step(
@@ -294,7 +314,7 @@ class Trainer:
                 total += float(pending.pop(0))  # sync on the oldest step
                 n += 1
             self.timer.stop()
-            self._maybe_save_step(epoch, i + 1)
+            self._maybe_save_step(epoch, consumed0 + i + 1)
             step = int(self.state.step)
             if step % self.cfg.log_every == 0:
                 self.logger.log(
@@ -307,12 +327,7 @@ class Trainer:
             total += float(loss)
             n += 1
         avg = total / max(1, n)
-        self.logger.log(
-            int(self.state.step),
-            {"loss_epoch": avg, "epoch_seconds": time.time() - t0,
-             "steps_per_sec": n / max(time.time() - t0, 1e-9)},
-            prefix="train",
-        )
+        self._log_epoch_summary(avg, n, t0)
         return avg
 
     def validate(self, epoch: int) -> float:

@@ -293,7 +293,9 @@ def test_mid_epoch_step_resume(tmp_path):
 
     # interrupted run: only 2 of 4 batches before the "crash"
     train, val = loaders()
-    Trainer(wl, _TruncatedLoader(train, 2), val, cfg(tmp_path)).fit()
+    # train_epoch only — a real crash never reaches the epoch-end
+    # save_epoch (which supersedes the 'step' checkpoint)
+    Trainer(wl, _TruncatedLoader(train, 2), val, cfg(tmp_path)).train_epoch(0)
     assert (tmp_path / "ckpt" / "bdd_drivable" / "sr" / "step").exists()
 
     # resume from the step checkpoint with the FULL loader
@@ -319,3 +321,80 @@ def test_mid_epoch_step_resume(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4
         )
+
+
+def test_step_resume_fallback_after_clean_epoch(tmp_path):
+    """A completed epoch supersedes the 'step' checkpoint; a supervisor
+    relaunch with --resume-from step then falls back to 'last' and starts
+    the NEXT epoch at batch 0 (no retraining, no best_val rollback)."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+
+    def loaders():
+        train = DataLoader(
+            SyntheticSegDataset(8), batch_size=4, num_workers=1, shuffle=True
+        )
+        val = DataLoader(
+            SyntheticSegDataset(4, seed=1), batch_size=4, num_workers=1,
+            shuffle=False, drop_last=False,
+        )
+        return train, val
+
+    def cfg(resume=None, resume_from="last"):
+        return TrainConfig(
+            epochs=1, learning_rate=1e-3, run_name="fb",
+            ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+            save_every_steps=1, resume=resume, resume_from=resume_from,
+        )
+
+    train, val = loaders()
+    Trainer(wl, train, val, cfg()).fit()
+    ckpt_dir = tmp_path / "ckpt" / "bdd_drivable" / "fb"
+    assert not (ckpt_dir / "step").exists()  # superseded at epoch end
+    assert (ckpt_dir / "last").exists()
+
+    train, val = loaders()
+    tr = Trainer(wl, train, val, cfg(resume="full", resume_from="step"))
+    assert tr.start_epoch == 1 and tr.start_batch == 0
+    assert int(tr.state.step) == 2
+
+
+def test_resume_skip_is_index_level(tmp_path):
+    """Resuming mid-epoch must not load the already-consumed samples:
+    the skip happens in the sampler index stream, before __getitem__."""
+
+    class Counting(SyntheticSegDataset):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.reads = 0
+
+        def __getitem__(self, i):
+            self.reads += 1
+            return super().__getitem__(i)
+
+    wl = bdd_expert_workload("drivable", image_size=32)
+    cfg = TrainConfig(
+        epochs=1, learning_rate=1e-3, run_name="sk",
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+        save_every_steps=2,
+    )
+    ds = Counting(16)
+    train = DataLoader(ds, batch_size=4, num_workers=1, shuffle=True)
+    val = DataLoader(
+        SyntheticSegDataset(4, seed=1), batch_size=4, num_workers=1,
+        shuffle=False, drop_last=False,
+    )
+    Trainer(wl, _TruncatedLoader(train, 2), val, cfg).train_epoch(0)
+
+    ds2 = Counting(16)
+    train2 = DataLoader(ds2, batch_size=4, num_workers=1, shuffle=True)
+    cfg2 = TrainConfig(
+        epochs=1, learning_rate=1e-3, run_name="sk",
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+        save_every_steps=2, resume="full", resume_from="step",
+    )
+    tr = Trainer(wl, train2, val, cfg2)
+    assert tr.start_batch == 2
+    tr.train_epoch(0)
+    # only the 2 remaining batches (8 samples) were materialized
+    assert ds2.reads == 8, ds2.reads
+    assert int(tr.state.step) == 4

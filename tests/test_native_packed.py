@@ -170,10 +170,24 @@ def test_packed_root_factory_and_loader(tmp_path):
         pack_frames(ds, tmp_path / split)
     loader = get_bdd_detection_loader(
         split="train", batch_size=4, num_workers=1,
-        packed_root=str(tmp_path),
+        packed_root=str(tmp_path), box_cap=5,
     )
     batch = next(iter(loader))
     assert batch["image"].shape == (4, 16, 16, 3)
     assert batch["image"].dtype == np.float32
     assert batch["labels"].dtype == np.int32
     assert batch["bboxes"].shape == (4, 5, 4)
+
+
+def test_packed_root_cap_mismatch_raises(tmp_path):
+    """A packed cache built with one box_cap refuses to serve a loader
+    that requests another (instead of an opaque shape error under jit)."""
+    from automoe_tpu.data.factories import get_bdd_detection_loader
+    from automoe_tpu.data.packed import pack_frames
+
+    pack_frames(_SynthDetection(n=6, cap=5), tmp_path / "train")
+    with pytest.raises(ValueError, match="leading dim 5"):
+        get_bdd_detection_loader(
+            split="train", batch_size=2, num_workers=1,
+            packed_root=str(tmp_path), box_cap=48,
+        )
