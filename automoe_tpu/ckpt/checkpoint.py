@@ -44,15 +44,26 @@ class CheckpointManager:
             "best_val_loss": np.asarray(self.best_val, np.float64),
         }
 
+    @staticmethod
+    def _sync(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     def _write(self, name: str, payload: Dict[str, Any], config: Optional[Dict]):
+        """EVERY process must call this in multi-host runs: orbax's save
+        participates in cross-process barriers (process 0 writes, the rest
+        sync) — a rank-0-only call deadlocks process 0 in the barrier."""
         path = (self.dir / name).resolve()
-        if path.exists():
+        if jax.process_index() == 0 and path.exists():
             import shutil
 
             shutil.rmtree(path)
+        self._sync(f"ckpt-pre-{name}")
         self._ckptr.save(path, payload)
         self._ckptr.wait_until_finished()
-        if config is not None:
+        if config is not None and jax.process_index() == 0:
             (self.dir / "config.json").write_text(json.dumps(config, indent=2))
 
     def save_epoch(
@@ -63,12 +74,13 @@ class CheckpointManager:
         config: Optional[Dict] = None,
     ) -> bool:
         """Save 'last' (+periodic), and 'best' when val improves.
-        Returns is_best. No-op on non-zero processes."""
+        Returns is_best. Call from EVERY process: the val_loss is globally
+        aggregated (identical on all processes, train/loop.py), so the
+        is-best decision can't diverge, and orbax's multi-host save
+        barriers need all processes to participate (process 0 writes)."""
         is_best = val_loss < self.best_val
         if is_best:
             self.best_val = float(val_loss)
-        if jax.process_index() != 0:
-            return is_best
         payload = self._payload(state, epoch, config)
         self._write("last", payload, config)
         if is_best:
@@ -79,7 +91,7 @@ class CheckpointManager:
         # now (restoring it would retrain this epoch's tail and roll back
         # best_val) — drop it; restore(which='step') falls back to 'last'.
         step_dir = (self.dir / "step").resolve()
-        if step_dir.exists():
+        if jax.process_index() == 0 and step_dir.exists():
             import shutil
 
             shutil.rmtree(step_dir)
@@ -96,9 +108,10 @@ class CheckpointManager:
         of batches already consumed this epoch, so resume can fast-forward
         the (deterministically reshuffled) loader. The reference resumes
         at epoch granularity only (train_bdd100k_ddp.py:536-545) — this is
-        the finer-grained production variant. No-op off process 0."""
-        if jax.process_index() != 0:
-            return
+        the finer-grained production variant. Call from every process
+        (same orbax barrier requirement as save_epoch; all processes save
+        at the same consumed-batch boundaries since shards are
+        equal-length)."""
         payload = self._payload(state, epoch, config)
         payload["batch_index"] = np.asarray(batch_index)
         self._write("step", payload, config)

@@ -43,7 +43,7 @@ def _allreduce_val_sums(sums: Dict[str, float], n: int):
     local = np.asarray([sums[k] for k in keys] + [float(n)], np.float64)
     gathered = multihost_utils.process_allgather(local)  # [P, K+1]
     total = np.asarray(gathered).sum(axis=0)
-    return dict(zip(keys, total[:-1])), int(total[-1])
+    return {k: float(v) for k, v in zip(keys, total[:-1])}, int(total[-1])
 
 
 @dataclass
