@@ -24,7 +24,7 @@ import pytest
 _WORKER = r"""
 import os, sys, json
 proc = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
-data_root, out_root = sys.argv[4], sys.argv[5]
+argv_file = sys.argv[4]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -32,17 +32,11 @@ sys.path.insert(0, os.getcwd())
 from tests.torch_mirror import install_torchvision_stub
 install_torchvision_stub()
 from automoe_tpu.train.cli import main as train_main
-out = train_main([
-    "finetune-carla", "--task", "drivable",
-    "--data-root", data_root,
-    "--epochs", "1", "--batch-size", "8", "--num-workers", "1",
-    "--image-size", "32",
+argv = json.load(open(argv_file)) + [
     "--multihost", "--coordinator", f"127.0.0.1:{port}",
     "--num-processes", str(nproc), "--process-id", str(proc),
-    "--ckpt-root", os.path.join(out_root, "ckpt"),
-    "--runs-root", os.path.join(out_root, "runs", str(proc)),
-    "--run-name", "mh",
-])
+]
+out = train_main(argv)
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.device_count() == 4 * nproc
 print("MH_RESULT " + json.dumps(
@@ -56,8 +50,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_training_cluster(tmp_path, rng):
+def _make_carla_root(tmp_path, rng, n=32):
     import torch
 
     from tests.test_data import _make_carla_frame
@@ -66,18 +59,26 @@ def test_two_process_training_cluster(tmp_path, rng):
     for split in ("train", "val"):
         d = root / split / "run_001"
         d.mkdir(parents=True)
-        for t in range(32):
+        for t in range(n):
             torch.save(
                 _make_carla_frame(rng, frame_id=t, run_id="run_001"),
                 d / f"{t:04d}.pt",
             )
+    return root
+
+
+def _run_cluster(tmp_path, argv):
+    """Launch 2 worker processes running the train CLI with `argv` inside
+    a shared jax.distributed cluster; return {proc: best_val_loss}."""
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
+    argv_file = tmp_path / "argv.json"
+    argv_file.write_text(json.dumps(argv))
     port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", str(port),
-             str(root), str(tmp_path)],
+             str(argv_file)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=Path(__file__).resolve().parents[1],
         )
@@ -96,6 +97,55 @@ def test_two_process_training_cluster(tmp_path, rng):
     # the SAME best val loss (reference all-reduces [loss, count])
     assert np.isfinite(results[0])
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
-    # checkpoints written by process 0 only, once
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training_cluster(tmp_path, rng):
+    root = _make_carla_root(tmp_path, rng)
+    _run_cluster(tmp_path, [
+        "finetune-carla", "--task", "drivable",
+        "--data-root", str(root),
+        "--epochs", "1", "--batch-size", "8", "--num-workers", "1",
+        "--image-size", "32",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "mh",
+    ])
     ckpt = tmp_path / "ckpt" / "bdd_drivable" / "mh"
+    assert (ckpt / "best").exists() and (ckpt / "last").exists()
+
+
+@pytest.mark.slow
+def test_two_process_expert_parallel_gating(tmp_path, rng):
+    """EP across PROCESSES: the 2x4 mesh places experts on the 'model'
+    axis spanning both hosts — the expert-feature all-gather and the
+    gradient psum ride the cross-process collective path, through the
+    real `gating --parallelism ep` CLI."""
+    root = _make_carla_root(tmp_path, rng)
+    model_cfg = {
+        "experts": [
+            {"type": "detection", "num_classes": 10},
+            {"type": "segmentation", "num_classes": 19},
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0, "noise_scale": 0.0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    }
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(model_cfg))
+    _run_cluster(tmp_path, [
+        "gating", "--parallelism", "ep",
+        "--model-config", str(cfg_path),
+        "--data-root", str(root),
+        "--epochs", "1", "--batch-size", "4", "--num-workers", "1",
+        "--image-size", "32",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "mh_ep",
+    ])
+    ckpt = tmp_path / "ckpt" / "gating_ep" / "mh_ep"
     assert (ckpt / "best").exists() and (ckpt / "last").exists()
