@@ -1,7 +1,9 @@
 from automoe_tpu.serving.export import (  # noqa: F401
+    ArtifactEngine,
     export_serving_step,
     load_serving_step,
     save_serving_artifact,
+    save_serving_bundle,
 )
 from automoe_tpu.serving.server import (  # noqa: F401
     BatchingServer,

@@ -68,3 +68,61 @@ def save_serving_artifact(engine, path: Union[str, Path],
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_bytes(export_serving_step(engine, batch_size, platforms))
     return path
+
+
+def save_serving_bundle(engine, out_dir: Union[str, Path],
+                        buckets=(1, 2, 4, 8),
+                        platforms: Optional[list] = None) -> Path:
+    """Export one artifact per bucket batch size + meta.json, so a server
+    can cold-start from compiled programs alone (no model code, no
+    checkpoint, no XLA compile). Pairs with serving/server.py's bucketed
+    micro-batching: the front-end only ever dispatches bucket sizes."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for b in sorted(set(int(x) for x in buckets)):
+        (out / f"b{b}.stablehlo").write_bytes(
+            export_serving_step(engine, b, platforms)
+        )
+    import json
+
+    (out / "meta.json").write_text(json.dumps({
+        "camera_hw": list(engine.camera_hw),
+        "buckets": sorted(set(int(x) for x in buckets)),
+    }))
+    return out
+
+
+class ArtifactEngine:
+    """InferenceEngine-compatible facade over a save_serving_bundle dir:
+    exposes `camera_hw` and `infer_batch` (bucket batch sizes only), so
+    `serving.server.BatchingServer(ArtifactEngine(dir))` serves without
+    importing model code or compiling — the production cold-start path.
+    The reference has no counterpart (it rebuilds the torch module and
+    loads .pth at every startup, inference/run_automoe.py:40-60)."""
+
+    def __init__(self, bundle_dir: Union[str, Path]):
+        import json
+
+        d = Path(bundle_dir)
+        meta = json.loads((d / "meta.json").read_text())
+        self.camera_hw = tuple(meta["camera_hw"])
+        self.buckets = list(meta["buckets"])
+        self._steps = {
+            b: load_serving_step(d / f"b{b}.stablehlo") for b in self.buckets
+        }
+
+    def infer_batch(self, frames_u8: np.ndarray, speeds_kmh: np.ndarray):
+        b = int(np.asarray(frames_u8).shape[0])
+        if b not in self._steps:
+            raise ValueError(
+                f"no artifact for batch {b}; bundle buckets: {self.buckets}"
+            )
+        speeds = np.asarray(speeds_kmh, np.float32).reshape(-1, 1)
+        out = self._steps[b](np.asarray(frames_u8, np.uint8), speeds)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def infer(self, frame_u8: np.ndarray, last_speed_kmh: float):
+        out = self.infer_batch(
+            np.asarray(frame_u8, np.uint8)[None], np.asarray([last_speed_kmh])
+        )
+        return {k: v[0] for k, v in out.items()}
