@@ -125,6 +125,33 @@ class InferenceEngine:
         self._step = jax.jit(step)
 
     @classmethod
+    def from_orbax_checkpoint(cls, model_config, ckpt_dir: str, *,
+                              model_hw: Tuple[int, int] = (256, 256),
+                              dtype=jnp.bfloat16, seed: int = 0, **kw):
+        """Serve from a trainer-written orbax checkpoint dir (best/last/
+        epoch_N): init a variable template, partial-restore
+        {params, batch_stats} over it, and build the engine from the
+        restored tree — BEFORE any int8 calibration, so quantize=True
+        calibrates the trained weights."""
+        from automoe_tpu.ckpt.checkpoint import load_variables
+        from automoe_tpu.utils import jit_init
+
+        cfg = load_model_config(model_config)
+        model = create_automoe_model(cfg, dtype=dtype, fast_gating_pool=True)
+        h, w = model_hw
+        init_batch = {
+            "image": jnp.zeros((1, h, w, 3), dtype),
+            "speed": jnp.zeros((1, 1), dtype),
+            "steering": jnp.zeros((1, 1), dtype),
+            "throttle": jnp.zeros((1, 1), dtype),
+            "brake": jnp.zeros((1, 1), dtype),
+        }
+        template = jit_init(model, jax.random.key(seed), init_batch)
+        variables = load_variables(ckpt_dir, template)
+        return cls(model_config, variables=variables, model_hw=model_hw,
+                   dtype=dtype, seed=seed, **kw)
+
+    @classmethod
     def from_torch_checkpoint(cls, model_config, ckpt_path: str, **kw):
         """Load a reference AutoMoE checkpoint (DDP prefixes stripped,
         run_automoe.py:144-157)."""

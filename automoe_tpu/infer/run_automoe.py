@@ -156,6 +156,8 @@ def main(argv=None):
     cfg = args.model_config or default_model_config()
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         engine = InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint)
+    elif args.checkpoint:  # orbax dir written by the trainer
+        engine = InferenceEngine.from_orbax_checkpoint(cfg, args.checkpoint)
     else:
         engine = InferenceEngine(cfg)
 
