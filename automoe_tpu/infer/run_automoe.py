@@ -145,6 +145,8 @@ def main(argv=None):
     p.add_argument("--out-dir", default="infer_out")
     p.add_argument("--save-frames", action="store_true")
     p.add_argument("--export-gif", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 PTQ expert trunks (serving/quant.py)")
     p.add_argument("--backend", choices=["auto", "mock", "carla"], default="auto")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=2000)
@@ -154,12 +156,13 @@ def main(argv=None):
     from automoe_tpu.configs import default_model_config
 
     cfg = args.model_config or default_model_config()
+    kw = {"quantize": args.quantize}
     if args.checkpoint and args.checkpoint.endswith(".pth"):
-        engine = InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint)
+        engine = InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint, **kw)
     elif args.checkpoint:  # orbax dir written by the trainer
-        engine = InferenceEngine.from_orbax_checkpoint(cfg, args.checkpoint)
+        engine = InferenceEngine.from_orbax_checkpoint(cfg, args.checkpoint, **kw)
     else:
-        engine = InferenceEngine(cfg)
+        engine = InferenceEngine(cfg, **kw)
 
     backend = args.backend
     if backend == "auto":
