@@ -192,6 +192,10 @@ class _Handler(socketserver.BaseRequestHandler):
                 except ConnectionError:
                     return
                 try:
+                    if header.get("op") == "stats":
+                        _send_msg(sock, {"stats": dict(server.batcher.stats),
+                                         "buckets": server.batcher.buckets})
+                        continue
                     h, w = int(header["height"]), int(header["width"])
                     frame = np.frombuffer(
                         _recv_exact(sock, h * w * 3), np.uint8
@@ -248,6 +252,14 @@ class Client:
         if "error" in out:
             raise RuntimeError(out["error"])
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def stats(self) -> Dict:
+        """Server-side batching counters ({requests, batches, rows_padded,
+        max_batch_seen}) + the bucket ladder."""
+        with self._lock:
+            _send_msg(self._sock, {"op": "stats"})
+            out, _ = _recv_msg(self._sock)
+        return out
 
     def close(self):
         self._sock.close()

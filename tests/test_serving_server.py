@@ -167,6 +167,9 @@ def test_serve_cli_boot_and_query(tmp_path, rng):
         out = c.infer(frame, 10.0)
         assert out["waypoints"].shape == (4, 2)
         assert np.isfinite(out["waypoints"]).all()
+        stats = c.stats()
+        assert stats["stats"]["requests"] >= 1
+        assert stats["buckets"] == [1, 2]
         c.close()
     finally:
         srv.shutdown()
