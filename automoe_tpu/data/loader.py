@@ -79,12 +79,14 @@ class ShardedSampler:
         idx = idx[self.shard_index :: self.num_shards]
         n_full = len(idx) // self.batch_size
         for b in range(min(self.skip_batches, n_full), n_full):
-            yield idx[b * self.batch_size : (b + 1) * self.batch_size].tolist()
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size].tolist(), self.batch_size
         rem = idx[n_full * self.batch_size :]
         if len(rem) and not self.drop_last and self.skip_batches <= n_full:
-            # repeat-pad the final batch to keep shapes static
+            # repeat-pad the final batch to keep shapes static; the second
+            # element carries the REAL count so consumers can weight the
+            # padded tail correctly (Trainer.validate does)
             pad = np.resize(rem, self.batch_size)
-            yield pad.tolist()
+            yield pad.tolist(), len(rem)
 
     def __len__(self) -> int:
         n = self._per_shard()
@@ -136,6 +138,7 @@ class DataLoader:
     def __iter__(self):
         batches = iter(self.sampler)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
         SENTINEL = object()
 
         # Datasets exposing read_batch (native packed caches) gather a whole
@@ -147,10 +150,23 @@ class DataLoader:
             else None
         )
 
-        def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment (early break):
+            # without the stop check a full queue blocks this thread forever
+            while not stop.is_set():
                 try:
-                    for batch_idx in batches:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx, real in batches:
+                        if stop.is_set():
+                            return
                         if read_batch is not None:
                             batch = read_batch(batch_idx)
                         else:
@@ -160,15 +176,34 @@ class DataLoader:
                             batch = self.collate_fn(samples)
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
-                        q.put(batch)
-                finally:
-                    q.put(SENTINEL)
+                        if real != len(batch_idx):
+                            batch = dict(batch)
+                            batch["_real_count"] = real
+                        if not put(batch):
+                            return
+            except BaseException as e:  # surface in the consumer, not stderr
+                put(e)
+            finally:
+                put(SENTINEL)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise RuntimeError(
+                        "DataLoader worker failed (epoch would otherwise be "
+                        "silently truncated)"
+                    ) from item
+                yield item
+        finally:
+            stop.set()
+            try:
+                while True:  # unblock a producer stuck on a full queue
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)

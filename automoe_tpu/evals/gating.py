@@ -59,10 +59,12 @@ def evaluate_automoe(
         jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         pred = forward_fn(variables, jb)
         m = automoe_eval_batch(pred, jb["waypoints"], jb["speed"])
-        bsz = int(jb["waypoints"].shape[0])
+        # a repeat-padded tail batch carries its real sample count — weight
+        # by it so duplicates don't bias the averages
+        bsz = int(batch.get("_real_count", jb["waypoints"].shape[0]))
         for k in sums:
             sums[k] += float(m[k]) * bsz
-        weights.append(np.asarray(m["expert_weights"]))
+        weights.append(np.asarray(m["expert_weights"])[:bsz])
         total += bsz
     total = max(1, total)
     w = np.concatenate(weights, axis=0) if weights else np.zeros((0, 1))

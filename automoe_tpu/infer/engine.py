@@ -57,8 +57,12 @@ class InferenceEngine:
         # latency on this runtime (see ops/resize.py docstring)
         mean = np.asarray(IMAGENET_MEAN, np.float32)
         std = np.asarray(IMAGENET_STD, np.float32)
-        # kept as numpy: traced into the program as literals
+        # numpy master copy (export inlines it as HLO literals); the
+        # jitted step receives the DEVICE copy as an argument — arguments
+        # are exempt from the closure landmine, and a numpy argument
+        # would re-upload ~MBs of resize weights on every dispatch
         self._mats = resize_weights(*camera_hw, *model_hw, antialias=True)
+        self._mats_dev = jax.device_put(self._mats)
 
         if variables is None:
             from automoe_tpu.utils import jit_init
@@ -172,7 +176,7 @@ class InferenceEngine:
             frame_u8 = frame_u8[None]
         speed = jnp.asarray([[last_speed_kmh]], jnp.float32)
         out = self._step(
-            self.variables, self._qexperts, self._mats,
+            self.variables, self._qexperts, self._mats_dev,
             jnp.asarray(frame_u8), speed,
         )
         return {k: np.asarray(v) for k, v in out.items()}
@@ -192,7 +196,7 @@ class InferenceEngine:
                 f"{speeds.shape[0]} speeds"
             )
         out = self._step(
-            self.variables, self._qexperts, self._mats,
+            self.variables, self._qexperts, self._mats_dev,
             jnp.asarray(frames_u8), jnp.asarray(speeds),
         )
         return {k: np.asarray(v) for k, v in out.items()}

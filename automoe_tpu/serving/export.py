@@ -31,9 +31,17 @@ def export_serving_step(engine, batch_size: int = 1,
     `batch_size` frames. The artifact takes (frames_u8 [B,H,W,3] uint8,
     speed_kmh [B,1] f32) and returns the engine's output dict."""
     h, w = engine.camera_hw
-    variables = engine.variables
-    qexperts = engine._qexperts
-    mats = engine._mats
+    # close over NUMPY trees only: closed-over device arrays in a jitted
+    # program poison every subsequent dispatch in the session to ~26 ms
+    # (CLAUDE.md landmine 1; engine._step threads these as arguments for
+    # exactly that reason). numpy constants trace as HLO literals — which
+    # is also what inlines the weights into the exported artifact.
+    variables = jax.tree.map(np.asarray, engine.variables)
+    qexperts = (
+        jax.tree.map(np.asarray, engine._qexperts)
+        if engine._qexperts is not None else None
+    )
+    mats = jax.tree.map(np.asarray, engine._mats)
 
     def step(frames_u8, speed_kmh):
         return engine._step(variables, qexperts, mats, frames_u8, speed_kmh)

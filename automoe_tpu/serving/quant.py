@@ -291,13 +291,24 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
         zeros = jnp.zeros((B, 1), dtype)
         params = variables["params"]
 
-        context_features = ctx_extractor.apply(
-            {"params": params["context_extractor"]},
-            _last_step(batch["speed"]) if "speed" in batch else zeros,
-            _last_step(batch["steering"]) if "steering" in batch else zeros,
-            _last_step(batch["throttle"]) if "throttle" in batch else zeros,
-            _last_step(batch["brake"]) if "brake" in batch else zeros,
-        )
+        ctx_vars = {"params": params["context_extractor"]}
+        speed = _last_step(batch["speed"]) if "speed" in batch else zeros
+        steering = _last_step(batch["steering"]) if "steering" in batch else zeros
+        throttle = _last_step(batch["throttle"]) if "throttle" in batch else zeros
+        brake = _last_step(batch["brake"]) if "brake" in batch else zeros
+        if cfg.context.type == "simple":
+            context_features = ctx_extractor.apply(
+                ctx_vars, speed, steering, throttle, brake
+            )
+        else:  # 'full' takes one context_data dict (models/automoe.py:110-120)
+            context_features = ctx_extractor.apply(ctx_vars, {
+                "speed": speed, "steering": steering,
+                "throttle": throttle, "brake": brake,
+                "hour": batch.get("hour", zeros),
+                "minute": batch.get("minute", zeros),
+                "weather": batch.get("weather", {}),
+                "road": batch.get("road", {}),
+            })
 
         low_h, low_w = image.shape[1] // 32, image.shape[2] // 32
         pool_uv = mean_of_resize_weights(

@@ -80,6 +80,14 @@ class BatchingServer:
         if self._worker is not None:
             self._worker.join(timeout=5)
             self._worker = None
+        # resolve abandoned requests so callers blocked in .result() wake
+        while True:
+            try:
+                *_, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("server closed"))
 
     def __enter__(self):
         return self.start()
@@ -191,15 +199,24 @@ class _Handler(socketserver.BaseRequestHandler):
                     header, _ = _recv_msg(sock)
                 except ConnectionError:
                     return
+                if header.get("op") == "stats":
+                    _send_msg(sock, {"stats": dict(server.batcher.stats),
+                                     "buckets": server.batcher.buckets})
+                    continue
+                # Consume the declared payload BEFORE any error reply —
+                # replying with bytes still on the wire would desync the
+                # length-prefixed stream for every later request. Bound the
+                # dims so a bogus header can't force a multi-GB recv.
                 try:
-                    if header.get("op") == "stats":
-                        _send_msg(sock, {"stats": dict(server.batcher.stats),
-                                         "buckets": server.batcher.buckets})
-                        continue
-                    h, w = int(header["height"]), int(header["width"])
-                    frame = np.frombuffer(
-                        _recv_exact(sock, h * w * 3), np.uint8
-                    ).reshape(h, w, 3)
+                    h, w = int(header.get("height", 0)), int(header.get("width", 0))
+                except (TypeError, ValueError):
+                    h = w = 0
+                if not (0 < h <= 8192 and 0 < w <= 8192):
+                    _send_msg(sock, {"error": f"bad frame dims {h}x{w}"})
+                    return  # cannot know the payload length — drop the conn
+                payload = _recv_exact(sock, h * w * 3)
+                try:
+                    frame = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
                     out = server.batcher.infer(
                         frame, float(header.get("speed_kmh", 0.0))
                     )

@@ -43,7 +43,7 @@ def _allreduce_val_sums(sums: Dict[str, float], n: int):
     local = np.asarray([sums[k] for k in keys] + [float(n)], np.float64)
     gathered = multihost_utils.process_allgather(local)  # [P, K+1]
     total = np.asarray(gathered).sum(axis=0)
-    return {k: float(v) for k, v in zip(keys, total[:-1])}, int(total[-1])
+    return {k: float(v) for k, v in zip(keys, total[:-1])}, float(total[-1])
 
 
 @dataclass
@@ -179,9 +179,12 @@ class Trainer:
                 dl.device_put_fn = put
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
+        batch = {
+            k: v for k, v in batch.items()
+            if not isinstance(v, list) and k != "_real_count"
+        }
         if any(isinstance(v, jax.Array) for v in batch.values()):
             return batch  # already transferred by the loader thread
-        batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
         if self.mesh is not None:
             return shard_batch(batch, self.mesh)
         return batch
@@ -216,7 +219,8 @@ class Trainer:
                     "mode (the Trainer skips installing its own)."
                 )
             group.append(
-                {kk: v for kk, v in batch.items() if not isinstance(v, list)}
+                {kk: v for kk, v in batch.items()
+                 if not isinstance(v, list) and kk != "_real_count"}
             )
             if len(group) < k:
                 continue
@@ -337,16 +341,26 @@ class Trainer:
         exactly across processes before the best-checkpoint decision
         (reference all-reduces [loss, count], :377-397)."""
         sums: Dict[str, float] = {}
-        n = 0
+        n = 0.0
         for batch in self.val_loader:
+            # the non-drop_last tail is repeat-padded to keep shapes
+            # static; weight its batch means by the REAL sample fraction
+            # so duplicates don't bias the epoch averages (the reference
+            # evaluates the true remainder batch)
+            real = batch.get("_real_count") if isinstance(batch, dict) else None
             db = self._device_batch(batch)
+            if real is not None:
+                bsz = next(iter(db.values())).shape[0]
+                w = float(real) / float(bsz)
+            else:
+                w = 1.0
             metrics = self.eval_step(self.state, db, self.rng)
             if self.metrics_step is not None:
                 metrics = {**metrics, **self.metrics_step(self.state, db)}
             for k, v in metrics.items():
                 if getattr(v, "ndim", 1) == 0 or isinstance(v, (int, float)):
-                    sums[k] = sums.get(k, 0.0) + float(v)
-            n += 1
+                    sums[k] = sums.get(k, 0.0) + float(v) * w
+            n += w
         sums, n = _allreduce_val_sums(sums, n)
         avg = {k: v / max(1, n) for k, v in sums.items()}
         self.logger.log(int(self.state.step), avg, prefix="val")

@@ -247,18 +247,18 @@ def test_sharded_sampler_partition():
     s1 = ShardedSampler(100, shuffle=True, seed=7, num_shards=4, shard_index=1,
                         batch_size=5)
     s0.set_epoch(3), s1.set_epoch(3)
-    i0 = [i for b in s0 for i in b]
-    i1 = [i for b in s1 for i in b]
+    i0 = [i for b, _ in s0 for i in b]
+    i1 = [i for b, _ in s1 for i in b]
     assert len(i0) == len(i1) == 25
     assert not set(i0) & set(i1)
     # same epoch → deterministic
     s0b = ShardedSampler(100, shuffle=True, seed=7, num_shards=4, shard_index=0,
                          batch_size=5)
     s0b.set_epoch(3)
-    assert [i for b in s0b for i in b] == i0
+    assert [i for b, _ in s0b for i in b] == i0
     # different epoch → different order
     s0b.set_epoch(4)
-    assert [i for b in s0b for i in b] != i0
+    assert [i for b, _ in s0b for i in b] != i0
 
 
 @pytest.mark.parametrize("drop_last", [True, False])
@@ -279,9 +279,76 @@ def test_sharded_sampler_equal_batch_counts(n, shards, bs, drop_last):
         smp = ShardedSampler(n, shuffle=True, seed=1, num_shards=shards,
                              shard_index=s, batch_size=bs, drop_last=drop_last)
         smp.set_epoch(2)
-        batches = list(smp)
+        batches = [b for b, _ in smp]
         assert all(len(b) == bs for b in batches), "non-static batch shape"
         counts.append(len(batches))
         lens.append(len(smp))
     assert len(set(counts)) == 1, f"unequal batch counts {counts}"
     assert counts == lens, f"__len__ {lens} != yielded {counts}"
+
+
+def test_loader_propagates_worker_errors():
+    """A dataset exception mid-epoch must surface in the consumer, not
+    silently truncate the epoch (review r2)."""
+    from automoe_tpu.data.loader import DataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i >= 8:
+                raise OSError("corrupt cache file")
+            return {"x": np.zeros(3, np.float32)}
+
+    dl = DataLoader(Exploding(), batch_size=4, num_workers=2, shuffle=False)
+    with pytest.raises(RuntimeError, match="DataLoader worker failed"):
+        list(dl)
+
+
+def test_loader_early_break_stops_producer():
+    """Breaking out of iteration must not leave the producer thread
+    blocked on a full queue (review r2)."""
+    import threading
+
+    from automoe_tpu.data.loader import DataLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full(4, i, np.float32)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        dl = DataLoader(Slow(), batch_size=4, num_workers=1, shuffle=False,
+                        prefetch=1)
+        for batch in dl:
+            break  # abandon mid-epoch
+    import time as _t
+
+    _t.sleep(0.5)
+    assert threading.active_count() <= before + 1, (
+        f"leaked producer threads: {threading.active_count()} vs {before}"
+    )
+
+
+def test_loader_tail_real_count():
+    """The repeat-padded tail batch carries its real sample count."""
+    from automoe_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full(2, i, np.float32)}
+
+    dl = DataLoader(DS(), batch_size=4, num_workers=1, shuffle=False,
+                    drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert "_real_count" not in batches[0]
+    assert batches[-1]["_real_count"] == 2
+    assert batches[-1]["x"].shape == (4, 2)  # still static

@@ -165,3 +165,33 @@ def test_quant_automoe_outputs_track_bf16(rng):
     wp_q = np.asarray(out["waypoints"]).reshape(-1)
     rel = np.abs(wp_ref - wp_q).mean() / (np.abs(wp_ref).mean() + 1e-12)
     assert rel < 0.1, f"waypoint relative error {rel}"
+
+
+@pytest.mark.slow
+def test_quantized_engine_full_context(rng):
+    """quantize=True with context.type='full' traces and runs (review r2:
+    the quant forward previously hard-coded the simple-context call
+    signature and crashed at trace time)."""
+    import jax.numpy as jnp
+
+    from automoe_tpu.infer.engine import InferenceEngine
+
+    cfg = {
+        "experts": [
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0, "noise_scale": 0.0},
+        "context": {"type": "full"},
+        "policy": {"num_waypoints": 4},
+    }
+    eng = InferenceEngine(
+        cfg, camera_hw=(120, 160), model_hw=(64, 64), dtype=jnp.float32,
+        quantize=True,
+    )
+    out = eng.infer(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8), 8.0)
+    assert out["waypoints"].shape == (1, 4, 2)
+    assert np.isfinite(out["waypoints"]).all()
+    w = out["expert_weights"]
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)

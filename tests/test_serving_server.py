@@ -217,3 +217,56 @@ def test_engine_from_orbax_checkpoint(tmp_path):
     a = jax.tree.leaves(eng.variables["params"])[0]
     b = jax.tree.leaves(params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_server_desync_and_close_robustness(engine):
+    """Protocol robustness (review r2): a bad header can't desync the
+    length-prefixed stream (bounded dims, payload consumed before error
+    replies), and close() resolves queued futures instead of hanging
+    callers."""
+    import struct as _struct
+
+    from automoe_tpu.serving.server import (
+        BatchingServer, Client, _recv_msg, _send_msg, serve_tcp,
+    )
+
+    with BatchingServer(engine, max_batch=2, max_wait_ms=20) as batcher:
+        srv = serve_tcp(batcher)
+        host, port = srv.server_address[:2]
+        try:
+            # bogus dims: server replies with an error and DROPS the conn
+            # (it cannot know the payload length) instead of reading 3 GB
+            import socket as _socket
+
+            s = _socket.create_connection((host, port))
+            _send_msg(s, {"height": 10**9, "width": 10**9, "speed_kmh": 0.0})
+            out, _ = _recv_msg(s)
+            assert "error" in out and "bad frame dims" in out["error"]
+            s.close()
+
+            # a real client on a fresh connection still works
+            c = Client(host, port)
+            frame = np.zeros((*engine.camera_hw, 3), np.uint8)
+            out = c.infer(frame, 5.0)
+            assert np.isfinite(out["waypoints"]).all()
+            c.close()
+        finally:
+            srv.shutdown()
+
+    # close() with queued work resolves futures with an error
+    b2 = BatchingServer(engine, max_batch=2, max_wait_ms=20)
+    b2.start()
+    b2._stop.set()  # stop the worker from draining
+    b2._worker.join(timeout=5)
+    b2._worker = True  # keep submit() working for the enqueue below
+    fut = None
+    try:
+        from concurrent.futures import Future
+
+        fut = Future()
+        b2._q.put((np.zeros((*engine.camera_hw, 3), np.uint8), 0.0, fut))
+    finally:
+        b2._worker = None
+        b2.close()
+    with pytest.raises(RuntimeError, match="server closed"):
+        fut.result(timeout=5)
