@@ -130,6 +130,11 @@ class CheckpointManager:
         --resume-from step regardless of where the crash landed."""
         path = (self.dir / which).resolve()
         if which == "step" and not path.exists():
+            if not (self.dir / "last").exists():
+                # crashed before ANY checkpoint landed: a supervisor
+                # relaunch with --resume-from step must start fresh, not
+                # crash-loop on a missing 'last'
+                return state, 0, 0
             state, epoch = self.restore(state, which="last", mode=mode)
             return state, epoch + 1, 0
         template = {

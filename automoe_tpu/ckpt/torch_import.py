@@ -64,7 +64,6 @@ def _convert(
             if m is None:
                 continue
             module_path = tuple(p for p in m.expand(template).split("/") if p)
-            is_bn = f"{base}.running_mean" in sd
             arr = np.asarray(arr)
             if leaf == "weight":
                 if arr.ndim == 4:  # Conv2d OIHW → HWIO
@@ -86,7 +85,6 @@ def _convert(
                 stats[module_path + ("var",)] = arr
             else:
                 raise KeyError(f"unhandled leaf {name}")
-            del is_bn
             matched.add(name)
             break
 

@@ -300,7 +300,11 @@ def cmd_gating(args):
         get_carla_sequence_loader, args, horizon=model_cfg.policy.num_waypoints
     )
     trainer = Trainer(wl, train, val, _train_cfg(args), mesh=mesh)
-    if args.expert_ckpts:
+    # expert checkpoints seed a FRESH run only: on --resume the Trainer
+    # already restored the full training state, and re-grafting the
+    # original expert files would roll back expert BN stats (or, with
+    # --unfreeze-experts, all trained expert weights) on every relaunch
+    if args.expert_ckpts and not args.resume:
         paths = args.expert_ckpts.split(",")
         variables = {
             "params": trainer.state.params,

@@ -153,6 +153,10 @@ class Trainer:
             else:
                 self.state, epoch = restored
                 self.start_epoch = epoch + 1 if config.resume == "full" else 0
+        # host-side optimizer-step counter: reading int(state.step) in the
+        # loop would block on the just-dispatched step and defeat the
+        # bounded-async pipeline (one sync here, none per step)
+        self._host_step = int(self.state.step)
 
     def _install_loader_transfer(self):
         """Move the host→device transfer into the DataLoader's producer
@@ -238,7 +242,9 @@ class Trainer:
             flush_pending(max(0, self.cfg.max_inflight))
             self.timer.stop()
             self._maybe_save_step(epoch, consumed0 + i + 1)
-            step = int(self.state.step)
+            self._host_step += k
+            self.logger.heartbeat()
+            step = self._host_step
             if step % self.cfg.log_every < k:
                 self.logger.log(
                     step,
@@ -251,6 +257,7 @@ class Trainer:
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(b), self.rng
             )
+            self._host_step += 1
             pending.append(metrics["loss"])
         flush_pending(0)
         avg = total / max(1, n)
@@ -264,18 +271,21 @@ class Trainer:
         by discarding in the loop. Returns (consumed0, skip_in_loop):
         consumed0 = batches already accounted before enumerate's i=0."""
         skip = self.start_batch if epoch == self.start_epoch else 0
+        set_epoch = getattr(self.train_loader, "set_epoch", None)
+        if set_epoch is None:  # plain torch-style iterable
+            return 0, skip
         if skip:
             try:
-                self.train_loader.set_epoch(epoch, skip_batches=skip)
+                set_epoch(epoch, skip_batches=skip)
                 return skip, 0
-            except TypeError:  # torch-style loader without skip support
+            except TypeError:  # loader without index-level skip support
                 pass
-        self.train_loader.set_epoch(epoch)
+        set_epoch(epoch)
         return 0, skip
 
     def _log_epoch_summary(self, avg: float, n: int, t0: float) -> None:
         self.logger.log(
-            int(self.state.step),
+            self._host_step,
             {"loss_epoch": avg, "epoch_seconds": time.time() - t0,
              "steps_per_sec": n / max(time.time() - t0, 1e-9)},
             prefix="train",
@@ -319,7 +329,9 @@ class Trainer:
                 n += 1
             self.timer.stop()
             self._maybe_save_step(epoch, consumed0 + i + 1)
-            step = int(self.state.step)
+            self._host_step += 1
+            self.logger.heartbeat()
+            step = self._host_step
             if step % self.cfg.log_every == 0:
                 self.logger.log(
                     step,
@@ -350,10 +362,13 @@ class Trainer:
             real = batch.get("_real_count") if isinstance(batch, dict) else None
             db = self._device_batch(batch)
             if real is not None:
-                bsz = next(iter(db.values())).shape[0]
-                w = float(real) / float(bsz)
+                # _real_count is the PER-PROCESS tail count; weight against
+                # the per-process batch slice, not the global batch
+                bsz = next(iter(db.values())).shape[0] // jax.process_count()
+                w = float(real) / float(max(1, bsz))
             else:
                 w = 1.0
+            self.logger.heartbeat()
             metrics = self.eval_step(self.state, db, self.rng)
             if self.metrics_step is not None:
                 metrics = {**metrics, **self.metrics_step(self.state, db)}
@@ -362,8 +377,9 @@ class Trainer:
                     sums[k] = sums.get(k, 0.0) + float(v) * w
             n += w
         sums, n = _allreduce_val_sums(sums, n)
-        avg = {k: v / max(1, n) for k, v in sums.items()}
-        self.logger.log(int(self.state.step), avg, prefix="val")
+        denom = n if n > 0 else 1.0  # n can be a fractional weighted count
+        avg = {k: v / denom for k, v in sums.items()}
+        self.logger.log(self._host_step, avg, prefix="val")
         return avg.get("loss", float("inf"))
 
     def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:

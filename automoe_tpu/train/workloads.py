@@ -13,6 +13,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from automoe_tpu.configs import AutoMoEConfig, ExpertConfig, load_model_config
 from automoe_tpu.losses import (
@@ -38,7 +39,9 @@ class Workload:
     name: str
     model: Any
     loss_fn: Callable  # (params, batch_stats, batch, rng, train) -> (loss, (metrics, stats))
-    example_batch: Dict[str, jnp.ndarray]
+    # numpy (NOT device arrays): init_variables jit-closes over these,
+    # and closed-over device arrays poison dispatch (CLAUDE.md landmine 1)
+    example_batch: Dict[str, np.ndarray]
     trainable_mask_fn: Optional[Callable] = None  # params -> mask pytree
     # builds the model.__call__ positional args from a batch dict:
     init_args: Callable = lambda b: (b["image"],)
@@ -153,8 +156,8 @@ def bdd_expert_workload(
             return res["loss"], (metrics, new_stats)
 
         example = {
-            "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-            "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
+            "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+            "bboxes": np.zeros((2, box_cap, 4), jnp.float32),
             "labels": jnp.full((2, box_cap), -1, jnp.int32),
         }
     else:
@@ -181,8 +184,8 @@ def bdd_expert_workload(
             return res["loss"], (metrics, new_stats)
 
         example = {
-            "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-            "mask": jnp.zeros((2, image_size, image_size), jnp.int32),
+            "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+            "mask": np.zeros((2, image_size, image_size), jnp.int32),
         }
 
     return Workload(
@@ -239,9 +242,9 @@ def nuscenes_workload(
         return res["loss"], (metrics, new_stats)
 
     example = {
-        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-        "lidar": jnp.zeros((2, lidar_cap, 3), jnp.float32),
-        "boxes": jnp.zeros((2, box_cap, bbox_dim), jnp.float32),
+        "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+        "lidar": np.zeros((2, lidar_cap, 3), jnp.float32),
+        "boxes": np.zeros((2, box_cap, bbox_dim), jnp.float32),
         "labels": jnp.full((2, box_cap), -1, jnp.int32),
     }
     return Workload(
@@ -293,8 +296,8 @@ def carla_nuscenes_2d_workload(
         return total, ({"class_loss": cls_loss, "bbox_loss": box_loss}, new_stats)
 
     example = {
-        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-        "bboxes": jnp.zeros((2, box_cap, 4), jnp.float32),
+        "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+        "bboxes": np.zeros((2, box_cap, 4), jnp.float32),
         "labels": jnp.full((2, box_cap), -1, jnp.int32),
     }
     return Workload("carla_nuscenes_2d", model, loss_fn, example)
@@ -328,12 +331,12 @@ def policy_workload(
         return res["loss"], (metrics, new_stats)
 
     example = {
-        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-        "waypoints": jnp.zeros((2, horizon, 2), jnp.float32),
-        "speed": jnp.zeros((2, horizon), jnp.float32),
+        "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+        "waypoints": np.zeros((2, horizon, 2), jnp.float32),
+        "speed": np.zeros((2, horizon), jnp.float32),
     }
     if context_dim > 0:
-        example["context"] = jnp.zeros((2, context_dim), jnp.float32)
+        example["context"] = np.zeros((2, context_dim), jnp.float32)
     return Workload(
         "carla_policy", model, loss_fn, example,
         init_args=lambda b: (b["image"], b.get("context")),
@@ -375,13 +378,13 @@ def gating_workload(
         return res["total_loss"], (metrics, new_stats)
 
     example = {
-        "image": jnp.zeros((2, image_size, image_size, 3), jnp.float32),
-        "lidar": jnp.zeros((2, 1000, 3), jnp.float32),
-        "speed": jnp.zeros((2, horizon), jnp.float32),
-        "steering": jnp.zeros((2, horizon), jnp.float32),
-        "throttle": jnp.zeros((2, horizon), jnp.float32),
-        "brake": jnp.zeros((2, horizon), jnp.float32),
-        "waypoints": jnp.zeros((2, horizon, 2), jnp.float32),
+        "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
+        "lidar": np.zeros((2, 1000, 3), jnp.float32),
+        "speed": np.zeros((2, horizon), jnp.float32),
+        "steering": np.zeros((2, horizon), jnp.float32),
+        "throttle": np.zeros((2, horizon), jnp.float32),
+        "brake": np.zeros((2, horizon), jnp.float32),
+        "waypoints": np.zeros((2, horizon, 2), jnp.float32),
     }
     mask_fn = (lambda params: expert_param_mask(params, frozen=True)) if freeze_experts else None
     return Workload(

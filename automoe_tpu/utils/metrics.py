@@ -47,6 +47,20 @@ class MetricsLogger:
             for k, v in flat.items():
                 self._tb.add_scalar(k, v, int(step))
 
+    def heartbeat(self) -> None:
+        """Freshen metrics.jsonl's mtime WITHOUT writing a record — the
+        supervisor's hang detector watches this file, and long validation
+        or checkpoint phases would otherwise look like a hung trainer
+        (tools/supervisor.py --heartbeat)."""
+        if not self.enabled:
+            return
+        import os
+
+        try:
+            os.utime(self.run_dir / "metrics.jsonl")
+        except OSError:
+            pass
+
     def close(self) -> None:
         if self._fh:
             self._fh.close()
