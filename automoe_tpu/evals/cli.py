@@ -127,7 +127,14 @@ def cmd_gating(args):
         )
         qfwd = make_quant_forward(cfg, qpack["scales"], dtype=jnp.float32)
         qexperts = jax.tree.map(jnp.asarray, qpack["experts"])
-        forward = jax.jit(lambda v, b: qfwd(v, qexperts, b))
+        # qexperts crosses the jit boundary as an ARGUMENT — a closed-over
+        # device-array pytree poisons every subsequent dispatch in the
+        # session (CLAUDE.md landmine 1)
+        import functools as _ft
+
+        forward = _ft.partial(
+            jax.jit(lambda q, v, b: qfwd(v, q, b)), qexperts
+        )
     else:
         forward = jax.jit(lambda v, b: wl.model.apply(v, b))
     res = evaluate_automoe(forward, variables, loader)
@@ -138,22 +145,16 @@ def cmd_gating(args):
     plot_expert_usage(res["expert_usage"], res["expert_std"], expert_names,
                       str(vis / "expert_usage.png"))
 
-    # context ↔ gating correlation over the eval set
-    ctx_rows, gate_rows = [], []
-    for batch in loader:
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if not isinstance(v, list)}
-        pred = forward(variables, jb)
-        feats = [np.asarray(jb[k])[:, -1:]
-                 for k in ("speed", "steering", "throttle", "brake") if k in jb]
-        if not feats:
-            continue
-        ctx_rows.append(np.concatenate(feats, axis=1))
-        gate_rows.append(np.asarray(pred["gate_logits"] if args.use_logits
-                                    else pred["expert_weights"]))
-    if ctx_rows:
+    # context ↔ gating correlation — reuses the rows evaluate_automoe
+    # already collected (trimmed to _real_count): no second full-forward
+    # pass over the eval set, no duplicate tail rows in the statistics
+    ctx_rows = np.asarray(res["context_rows"])
+    gate_rows = np.asarray(
+        res["gate_logits"] if args.use_logits else res["expert_weights"]
+    )
+    if ctx_rows.size:
         corr = context_gating_correlation(
-            np.concatenate(ctx_rows), np.concatenate(gate_rows),
+            ctx_rows, gate_rows,
             use_logits=args.use_logits,
             context_names=["speed", "steering", "throttle", "brake"],
             expert_names=expert_names,
@@ -169,6 +170,8 @@ def cmd_gating(args):
         }
 
     res.pop("expert_weights", None)
+    res.pop("gate_logits", None)
+    res.pop("context_rows", None)
     path = _timestamped(args.out_dir, "gating")
     path.write_text(json.dumps(res, indent=2))
     print(json.dumps({k: v for k, v in res.items() if k != "correlation"}))

@@ -44,6 +44,7 @@ def automoe_eval_batch(pred: Dict, target_wp: jnp.ndarray, target_spd: jnp.ndarr
         "speed_loss": speed_loss,
         "entropy": entropy,
         "expert_weights": pred["expert_weights"],
+        "gate_logits": pred.get("gate_logits", pred["expert_weights"]),
     }
 
 
@@ -54,17 +55,23 @@ def evaluate_automoe(
     sums = {k: 0.0 for k in (
         "ade_l1", "fde_l1", "ade_euclid", "fde_euclid", "speed_loss", "entropy"
     )}
-    total, weights = 0, []
+    total, weights, logits, ctx_rows = 0, [], [], []
     for batch in batches:
         jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         pred = forward_fn(variables, jb)
         m = automoe_eval_batch(pred, jb["waypoints"], jb["speed"])
         # a repeat-padded tail batch carries its real sample count — weight
-        # by it so duplicates don't bias the averages
+        # by it so duplicates don't bias the averages (also trim the
+        # per-sample rows below: dup rows would bias the correlations)
         bsz = int(batch.get("_real_count", jb["waypoints"].shape[0]))
         for k in sums:
             sums[k] += float(m[k]) * bsz
         weights.append(np.asarray(m["expert_weights"])[:bsz])
+        logits.append(np.asarray(m["gate_logits"])[:bsz])
+        feats = [np.asarray(jb[k])[:bsz, -1:]
+                 for k in ("speed", "steering", "throttle", "brake") if k in jb]
+        if feats:
+            ctx_rows.append(np.concatenate(feats, axis=1))
         total += bsz
     total = max(1, total)
     w = np.concatenate(weights, axis=0) if weights else np.zeros((0, 1))
@@ -72,6 +79,10 @@ def evaluate_automoe(
     out["expert_usage"] = w.mean(axis=0).tolist() if len(w) else []
     out["expert_std"] = w.std(axis=0).tolist() if len(w) else []
     out["expert_weights"] = w
+    out["gate_logits"] = np.concatenate(logits, axis=0) if logits else np.zeros((0, 1))
+    out["context_rows"] = (
+        np.concatenate(ctx_rows, axis=0) if ctx_rows else np.zeros((0, 0))
+    )
     return out
 
 

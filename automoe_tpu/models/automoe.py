@@ -29,7 +29,10 @@ from automoe_tpu.models.experts import (
     NuScenesExpert,
 )
 from automoe_tpu.models.extractors import make_extractor
-from automoe_tpu.models.gating import GatingNetwork
+from automoe_tpu.models.gating import (
+    GatingNetwork,
+    gating_network_from_config,
+)
 from automoe_tpu.models.policy import TrajectoryPolicy
 
 Dtype = Any
@@ -140,41 +143,32 @@ class AutoMoE(nn.Module):
             expert_outputs.append(out)
 
         # --- uniform features + gating ---
-        pool_uv = None
-        if self.fast_gating_pool:
-            from automoe_tpu.ops.resize import mean_of_resize_weights
+        expert_features = []
+        for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs)):
+            pool_uv = None
+            if self.fast_gating_pool and ecfg.type in ("segmentation",
+                                                       "drivable"):
+                from automoe_tpu.ops.resize import mean_of_resize_weights
 
-            low_h, low_w = image.shape[1] // 32, image.shape[2] // 32
-            pool_uv = mean_of_resize_weights(
-                low_h, low_w, image.shape[1], image.shape[2], False
+                # low-res dims come from the expert's ACTUAL output — the
+                # trunk's stride-32 reduction uses ceil-like dims, so
+                # image_dim // 32 is wrong for non-multiple-of-32 inputs
+                # (einsum would crash, or silently broadcast a size-1 dim
+                # into ~2x-scaled gating features)
+                pool_uv = mean_of_resize_weights(
+                    out.shape[1], out.shape[2],
+                    image.shape[1], image.shape[2], False,
+                )
+            expert_features.append(
+                make_extractor(
+                    ecfg, self.dtype, name=f"extractor_{i}", pool_uv=pool_uv,
+                )(out, deterministic=deterministic)
             )
-        expert_features = [
-            make_extractor(
-                ecfg, self.dtype, name=f"extractor_{i}",
-                pool_uv=(pool_uv if ecfg.type in ("segmentation", "drivable")
-                         else None),
-            )(out, deterministic=deterministic)
-            for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
-        ]
         # Reference parity: the composite constructor DROPS top_k/noise from
-        # the gating config (automoe.py:78-91 passes neither), so top-k
-        # routing is inert in the shipped pipeline. honor_topk_in_composite
-        # opts back in.
-        honor = cfg.gating.honor_topk_in_composite
-        gating = GatingNetwork(
-            num_experts=len(cfg.experts),
-            context_dim=cfg.context.context_dim,
-            expert_output_dims=[e.output_dim for e in cfg.experts],
-            processed_dim=cfg.gating.processed_dim,
-            hidden_dim=cfg.gating.hidden_dim,
-            temperature=cfg.gating.temperature,
-            use_softmax=cfg.gating.use_softmax,
-            top_k=cfg.gating.top_k if honor else 0,
-            noise_type=cfg.gating.noise_type,
-            noise_scale=cfg.gating.noise_scale if honor else 0.0,
-            apply_topk_at_eval=cfg.gating.apply_topk_at_eval if honor else False,
-            dtype=self.dtype,
-            name="gating_network",
+        # the gating config (automoe.py:78-91 passes neither) —
+        # gating_network_from_config encodes the quirk once.
+        gating = gating_network_from_config(
+            cfg, self.dtype, name="gating_network"
         )
         gating_output = gating(
             expert_features, context_features, train=train, deterministic=deterministic
@@ -235,21 +229,8 @@ def automoe_context_weights(model: AutoMoE, variables, batch):
     zero PROCESSED features injected past the expert processors).
     Analysis-only. Supports both 'simple' and 'full' context extractors."""
     cfg = model.config
-    gating = GatingNetwork(
-        num_experts=len(cfg.experts),
-        context_dim=cfg.context.context_dim,
-        expert_output_dims=[e.output_dim for e in cfg.experts],
-        processed_dim=cfg.gating.processed_dim,
-        hidden_dim=cfg.gating.hidden_dim,
-        temperature=cfg.gating.temperature,
-        use_softmax=cfg.gating.use_softmax,
-        top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
-        noise_scale=0.0,
-        apply_topk_at_eval=(
-            cfg.gating.apply_topk_at_eval if cfg.gating.honor_topk_in_composite
-            else False
-        ),
-        dtype=model.dtype,
+    gating = gating_network_from_config(
+        cfg, model.dtype, force_deterministic=True
     )
     ctx = make_context_extractor(cfg.context, model.dtype)
     ctx_vars = {"params": variables["params"]["context_extractor"]}

@@ -162,7 +162,10 @@ class FusedAutoMoE(nn.Module):
         from automoe_tpu.models.context import make_context_extractor
         from automoe_tpu.models.experts import _ConvHead, bilinear_resize
         from automoe_tpu.models.extractors import make_extractor
-        from automoe_tpu.models.gating import GatingNetwork
+        from automoe_tpu.models.gating import (
+    GatingNetwork,
+    gating_network_from_config,
+)
         from automoe_tpu.models.policy import TrajectoryPolicy
 
         cfg = self.config
@@ -173,22 +176,25 @@ class FusedAutoMoE(nn.Module):
             if e.type == "nuscenes" and e.use_lidar:
                 raise NotImplementedError("fused path is image-only nuScenes")
 
-        # context (simple path)
+        # context — same simple/full branch as the dense composite
+        # (automoe.py:99-120; 'full' takes one context_data dict)
         zeros = jnp.zeros((B, 1), image.dtype)
         speed = _last_step(batch["speed"]) if "speed" in batch else zeros
-        has_simple = all(
-            k in batch for k in ("speed", "steering", "throttle", "brake")
-        )
+        steering = _last_step(batch["steering"]) if "steering" in batch else zeros
+        throttle = _last_step(batch["throttle"]) if "throttle" in batch else zeros
+        brake = _last_step(batch["brake"]) if "brake" in batch else zeros
         ctx = make_context_extractor(cfg.context, self.dtype, name="context_extractor")
-        if has_simple:
-            context_features = ctx(
-                speed,
-                _last_step(batch["steering"]),
-                _last_step(batch["throttle"]),
-                _last_step(batch["brake"]),
-            )
+        if cfg.context.type == "simple":
+            context_features = ctx(speed, steering, throttle, brake)
         else:
-            context_features = ctx(speed, zeros, zeros, zeros)
+            context_features = ctx({
+                "speed": speed, "steering": steering,
+                "throttle": throttle, "brake": brake,
+                "hour": batch.get("hour", zeros),
+                "minute": batch.get("minute", zeros),
+                "weather": batch.get("weather", {}),
+                "road": batch.get("road", {}),
+            })
 
         # one grouped trunk for every expert
         feats = FusedResNet18Trunk(groups=groups, dtype=self.dtype, name="fused_trunk")(
@@ -249,21 +255,8 @@ class FusedAutoMoE(nn.Module):
             make_extractor(ecfg, self.dtype, name=f"extractor_{i}")(out)
             for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs))
         ]
-        honor = cfg.gating.honor_topk_in_composite
-        gating = GatingNetwork(
-            num_experts=groups,
-            context_dim=cfg.context.context_dim,
-            expert_output_dims=[e.output_dim for e in cfg.experts],
-            processed_dim=cfg.gating.processed_dim,
-            hidden_dim=cfg.gating.hidden_dim,
-            temperature=cfg.gating.temperature,
-            use_softmax=cfg.gating.use_softmax,
-            top_k=cfg.gating.top_k if honor else 0,
-            noise_type=cfg.gating.noise_type,
-            noise_scale=cfg.gating.noise_scale if honor else 0.0,
-            apply_topk_at_eval=cfg.gating.apply_topk_at_eval if honor else False,
-            dtype=self.dtype,
-            name="gating_network",
+        gating = gating_network_from_config(
+            cfg, self.dtype, name="gating_network", num_experts=groups
         )
         gating_output = gating(expert_features, context_features)
         policy = TrajectoryPolicy(

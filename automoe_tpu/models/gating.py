@@ -77,6 +77,11 @@ class GatingNetwork(nn.Module):
     def _sample_noise(self, shape):
         if self.noise_scale <= 0.0:
             return jnp.zeros(shape, self.dtype)
+        if not self.has_rng("gating"):
+            # analysis paths (context_only_weights via .apply without rngs)
+            # fall back to noise-free routing instead of InvalidRngError;
+            # pass rngs={'gating': key} for the reference's noisy analysis
+            return jnp.zeros(shape, self.dtype)
         rng = self.make_rng("gating")
         if self.noise_type.lower() == "gumbel":
             u = jnp.clip(jax.random.uniform(rng, shape), 1e-6, 1 - 1e-6)
@@ -172,6 +177,42 @@ class GatingNetwork(nn.Module):
         """Raw gate logits from context only (gating_network.py:197-207)."""
         out = self.__call__(None, context, train=False, deterministic=deterministic)
         return out["gate_logits"]
+
+
+def gating_network_from_config(
+    cfg,
+    dtype,
+    *,
+    name: Optional[str] = None,
+    num_experts: Optional[int] = None,
+    force_deterministic: bool = False,
+):
+    """Build the composite's GatingNetwork from an AutoMoEConfig — the ONE
+    place that encodes the reference quirk (the composite drops
+    top_k/noise unless gating.honor_topk_in_composite opts in,
+    automoe.py:78-91). `force_deterministic` zeroes the routing noise for
+    serving/analysis paths; `num_experts` overrides for grouped variants
+    (FusedAutoMoE). Previously five call sites copy-pasted this block and
+    had drifted (two dropped noise_type)."""
+    g = cfg.gating
+    honor = g.honor_topk_in_composite
+    return GatingNetwork(
+        num_experts=(num_experts if num_experts is not None
+                     else len(cfg.experts)),
+        context_dim=cfg.context.context_dim,
+        expert_output_dims=[e.output_dim for e in cfg.experts],
+        processed_dim=g.processed_dim,
+        hidden_dim=g.hidden_dim,
+        temperature=g.temperature,
+        use_softmax=g.use_softmax,
+        top_k=g.top_k if honor else 0,
+        noise_type=g.noise_type,
+        noise_scale=(0.0 if force_deterministic
+                     else (g.noise_scale if honor else 0.0)),
+        apply_topk_at_eval=g.apply_topk_at_eval if honor else False,
+        dtype=dtype,
+        name=name,
+    )
 
 
 class MoEArchitecture(nn.Module):

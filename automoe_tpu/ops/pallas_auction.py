@@ -93,6 +93,16 @@ def auction_solve_pallas(
 ) -> jnp.ndarray:
     """benefit [B,N,Q] f32, valid [B,N] bool, eps [B] f32 → [B,N] int32."""
     B, N, Q = benefit.shape
+    if Q == 1:
+        # degenerate single-object case: the kernel's second-best masked
+        # max is -inf, so bidders thrash to max_iters and the winner is
+        # arbitrary. The optimal assignment is direct — same shortcut as
+        # ops/auction.py's jnp solver.
+        vals = jnp.where(valid, benefit[..., 0], jnp.float32(-1e9))
+        best_person = jnp.argmax(vals, axis=1)  # [B]
+        return jnp.where(
+            (jnp.arange(N)[None, :] == best_person[:, None]) & valid, 0, -1
+        ).astype(jnp.int32)
     benefit = jnp.where(valid[..., None], benefit, 0.0).astype(jnp.float32)
     valid_i = valid.astype(jnp.int32)[..., None]  # [B,N,1]
     eps2 = eps.reshape(B, 1, 1).astype(jnp.float32)

@@ -121,25 +121,9 @@ def _make_ep_body(
 
     branches = [expert_branch(i) for i in range(E)]
 
-    gating = GatingNetwork(
-        num_experts=E,
-        context_dim=cfg.context.context_dim,
-        expert_output_dims=[e.output_dim for e in cfg.experts],
-        processed_dim=cfg.gating.processed_dim,
-        hidden_dim=cfg.gating.hidden_dim,
-        temperature=cfg.gating.temperature,
-        use_softmax=cfg.gating.use_softmax,
-        top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
-        noise_type=cfg.gating.noise_type,
-        noise_scale=(
-            cfg.gating.noise_scale if cfg.gating.honor_topk_in_composite else 0.0
-        ),
-        apply_topk_at_eval=(
-            cfg.gating.apply_topk_at_eval if cfg.gating.honor_topk_in_composite
-            else False
-        ),
-        dtype=dtype,
-    )
+    from automoe_tpu.models.gating import gating_network_from_config
+
+    gating = gating_network_from_config(cfg, dtype)
     ctx_extractor = make_context_extractor(cfg.context, dtype)
     policy = TrajectoryPolicy(
         horizon=cfg.policy.num_waypoints,

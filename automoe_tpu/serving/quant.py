@@ -252,7 +252,7 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
     from automoe_tpu.models.automoe import _last_step
     from automoe_tpu.models.context import make_context_extractor
     from automoe_tpu.models.extractors import make_extractor
-    from automoe_tpu.models.gating import GatingNetwork
+    from automoe_tpu.models.gating import gating_network_from_config
     from automoe_tpu.models.policy import TrajectoryPolicy
     from automoe_tpu.ops.resize import mean_of_resize_weights
 
@@ -262,22 +262,8 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
             raise NotImplementedError("quant serving path is image-only nuScenes")
 
     ctx_extractor = make_context_extractor(cfg.context, dtype)
-    gating = GatingNetwork(
-        num_experts=len(cfg.experts),
-        context_dim=cfg.context.context_dim,
-        expert_output_dims=[e.output_dim for e in cfg.experts],
-        processed_dim=cfg.gating.processed_dim,
-        hidden_dim=cfg.gating.hidden_dim,
-        temperature=cfg.gating.temperature,
-        use_softmax=cfg.gating.use_softmax,
-        top_k=cfg.gating.top_k if cfg.gating.honor_topk_in_composite else 0,
-        noise_scale=0.0,
-        apply_topk_at_eval=(
-            cfg.gating.apply_topk_at_eval if cfg.gating.honor_topk_in_composite
-            else False
-        ),
-        dtype=dtype,
-    )
+    # deterministic routing for serving (noise zeroed)
+    gating = gating_network_from_config(cfg, dtype, force_deterministic=True)
     policy = TrajectoryPolicy(
         horizon=cfg.policy.num_waypoints,
         context_dim=cfg.gating.processed_dim,

@@ -70,3 +70,30 @@ def test_fast_gating_pool_equivalence(rng):
     # fast path returns LOW-RES seg maps
     assert o1["expert_outputs"][1].shape == (B, 2, 2, 19)
     assert o0["expert_outputs"][1].shape == (B, 64, 64, 19)
+
+
+def test_fast_gating_pool_non_multiple_of_32(rng):
+    """Review r2: the fast pool derived low-res dims from image//32, which
+    crashed (or silently 2x-scaled the gating features via einsum
+    broadcasting) for non-multiple-of-32 inputs — 40x64 reproduced the
+    silent case. Dims now come from the expert's actual output."""
+    cfg = default_model_config()
+    m0 = create_automoe_model(cfg)
+    m1 = create_automoe_model(cfg, fast_gating_pool=True)
+    B = 2
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(B, 40, 64, 3)).astype(np.float32)),
+        "lidar": jnp.zeros((B, 100, 3), jnp.float32),
+        "speed": jnp.ones((B, 1), jnp.float32),
+        "steering": jnp.zeros((B, 1), jnp.float32),
+        "throttle": jnp.zeros((B, 1), jnp.float32),
+        "brake": jnp.zeros((B, 1), jnp.float32),
+    }
+    v = jit_init(m0, jax.random.key(0), batch)
+    o0 = m0.apply(v, batch)
+    o1 = m1.apply(v, batch)
+    for k in ("expert_weights", "gate_logits", "waypoints"):
+        np.testing.assert_allclose(
+            np.asarray(o0[k]), np.asarray(o1[k]), rtol=1e-4, atol=1e-5,
+            err_msg=k,
+        )

@@ -231,3 +231,28 @@ def test_moe_architecture_wrapper(rng):
         np.asarray(out["expert_weights"]).sum(-1), 1.0, atol=1e-6
     )
     assert len(out["expert_outputs"]) == 3
+
+
+def test_context_only_weights_noisy_topk_config(rng):
+    """Review r2: top_k>0 + noise + apply_topk_at_eval used to raise
+    InvalidRngError on the analysis path; without an rng it now falls
+    back to noise-free routing, and WITH rngs it samples like the
+    reference's get_expert_weights."""
+    from automoe_tpu.models.gating import GatingNetwork
+
+    g = GatingNetwork(num_experts=3, context_dim=8,
+                      expert_output_dims=[4, 4, 4], top_k=2,
+                      noise_scale=1.0, apply_topk_at_eval=True)
+    ctx = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    vs = g.init({"params": jax.random.key(0), "gating": jax.random.key(1)},
+                None, ctx)
+    # no rngs: deterministic fallback, no crash, top-k still applies
+    w = g.apply(vs, ctx, method="context_only_weights")
+    assert np.allclose(np.asarray(w).sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(w) > 1e-6).sum(-1).max() <= 2  # top-2 mask active
+    # with rngs: noisy routing (different keys -> different weights)
+    w1 = g.apply(vs, ctx, method="context_only_weights",
+                 rngs={"gating": jax.random.key(2)})
+    w2 = g.apply(vs, ctx, method="context_only_weights",
+                 rngs={"gating": jax.random.key(3)})
+    assert not np.allclose(np.asarray(w1), np.asarray(w2))

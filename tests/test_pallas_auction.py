@@ -105,3 +105,23 @@ def test_pallas_auction_interpret_matches_optimal(rng):
         ours = sub[np.arange(n), cols].sum()
         opt = sub[ri, ci].sum()
         assert ours - opt <= spread[b] * 0.011 + 1e-4, (b, ours, opt)
+
+
+def test_pallas_auction_single_query(rng):
+    """Q=1 degenerate case: the kernel used to thrash to max_iters and
+    return an arbitrary bidder; now the optimal target takes the query
+    (same shortcut as the jnp solver)."""
+    from automoe_tpu.ops.pallas_auction import auction_solve_pallas
+
+    benefit = jnp.asarray([[[0.9], [0.1], [0.5]]], jnp.float32)  # [1,3,1]
+    valid = jnp.asarray([[True, True, True]])
+    out = auction_solve_pallas(
+        benefit, valid, jnp.asarray([0.01], jnp.float32), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), [[0, -1, -1]])
+    # all-invalid row: nothing assigned
+    out2 = auction_solve_pallas(
+        benefit, jnp.zeros((1, 3), bool), jnp.asarray([0.01], jnp.float32),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out2), [[-1, -1, -1]])
