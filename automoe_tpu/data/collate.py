@@ -37,7 +37,19 @@ def pad_points(points: np.ndarray, cap: int, dim: int = 3) -> np.ndarray:
 
 
 def stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-    keys = samples[0].keys()
+    # intersection, not samples[0]'s keys: optional fields (e.g.
+    # CarlaSequenceDataset's conditional 'context') may be present in only
+    # part of a batch — keying off the first sample either crashed with
+    # KeyError mid-epoch or silently dropped the other samples' data
+    keys = [k for k in samples[0] if all(k in s for s in samples)]
+    dropped = set(samples[0]) - set(keys)
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"stack_batch: dropping keys {sorted(dropped)} missing from "
+            "some samples in the batch", stacklevel=2,
+        )
     out = {}
     for k in keys:
         v0 = samples[0][k]

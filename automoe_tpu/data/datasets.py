@@ -124,7 +124,12 @@ class BDDSegmentationDataset:
             if cand.exists():
                 return str(cand)
             if "images" in p:
-                cand2 = Path(self.raw_root) / "images" / p.split("images", 1)[1]
+                # lstrip the separator: joining an absolute component onto
+                # a Path DISCARDS raw_root (the reference
+                # bdd_segmentation_loader.py:34-37 has this bug — its
+                # fallback can never resolve; fixed here, see DESIGN.md §3)
+                suffix = p.split("images", 1)[1].lstrip(os.sep)
+                cand2 = Path(self.raw_root) / "images" / suffix
                 if cand2.exists():
                     return str(cand2)
         return p

@@ -93,7 +93,11 @@ def lapjv_batch(
         _ip(out), n_threads,
     )
     if rc != 0:
-        raise ValueError(f"lapjv_solve_batch failed (rc={rc})")
+        raise ValueError(
+            f"lapjv_solve_batch failed (rc={rc}: invalid n_valid or "
+            "non-finite costs — NaN costs would otherwise hang the "
+            "augmenting-path loop)"
+        )
     return out
 
 

@@ -143,7 +143,10 @@ def collect_run(client, run_idx: int, args) -> dict:
     )
     actors.append(col_sensor)
 
-    # NPC traffic
+    # NPC traffic — record the ACTUALLY-spawned counts (spawns can fail),
+    # like the reference (collect_autopilot_data.py:245-266); the logged
+    # traffic_density feeds preprocess_carla's context features
+    n_vehicles_spawned = 0
     for sp in spawn_points[1 : 1 + args.vehicles]:
         try:
             npc = world.spawn_actor(
@@ -151,8 +154,28 @@ def collect_run(client, run_idx: int, args) -> dict:
             )
             npc.set_autopilot(True)
             actors.append(npc)
+            n_vehicles_spawned += 1
         except RuntimeError:
             continue
+
+    # NPC pedestrians at navmesh locations (collect_autopilot_data.py:249-
+    # 264) — without them the 'pedestrian' class the CARLA detection
+    # fine-tune trains on (preprocess_carla CLS_MAP) never occurs
+    n_walkers_spawned = 0
+    walker_bps = list(bp.filter("walker.pedestrian.*"))
+    for _ in range(args.walkers):
+        loc = world.get_random_location_from_navigation()
+        if loc is None or not walker_bps:
+            continue
+        tf = carla.Transform()
+        tf.location = loc
+        try:
+            walker = world.spawn_actor(random.choice(walker_bps), tf)
+        except RuntimeError:
+            continue
+        if walker is not None:
+            actors.append(walker)
+            n_walkers_spawned += 1
 
     run_dir = Path(args.output) / f"run_{run_idx:03d}"
     subdirs = (
@@ -205,7 +228,11 @@ def collect_run(client, run_idx: int, args) -> dict:
                     [tf.rotation.pitch, tf.rotation.yaw, tf.rotation.roll],
                 )
                 boxes = []
-                for actor in world.get_actors().filter("*vehicle*"):
+                world_actors = world.get_actors()
+                annot_actors = list(world_actors.filter("*vehicle*")) + list(
+                    world_actors.filter("walker.pedestrian.*")
+                )
+                for actor in annot_actors:
                     if actor.id == ego.id:
                         continue
                     verts = actor.bounding_box.get_world_vertices(
@@ -214,7 +241,12 @@ def collect_run(client, run_idx: int, args) -> dict:
                     vs = np.array([[v.x, v.y, v.z] for v in verts], np.float32)
                     bb = compute_2d_bbox(vs, K, w2c, IMG_W, IMG_H)
                     if bb:
-                        boxes.append({"bbox": bb, "label": "vehicle"})
+                        label = (
+                            "pedestrian"
+                            if "walker.pedestrian" in actor.type_id
+                            else "vehicle"
+                        )
+                        boxes.append({"bbox": bb, "label": label})
                 (run_dir / "annots/front" / f"{tick:06d}.json").write_text(
                     json.dumps({"boxes": boxes})
                 )
@@ -245,8 +277,8 @@ def collect_run(client, run_idx: int, args) -> dict:
                             if a.id != ego.id
                             and a.get_location().distance(loc) < 50.0
                         ),
-                        "total_npc_vehicles": args.vehicles,
-                        "total_npc_walkers": args.walkers,
+                        "total_npc_vehicles": n_vehicles_spawned,
+                        "total_npc_walkers": n_walkers_spawned,
                     },
                 }
             )

@@ -121,7 +121,9 @@ def main(argv=None):
         try:
             train_main(_stage_args(stage, args))
             summary.append((name, "ok", time.time() - t0))
-        except Exception:
+        except (Exception, SystemExit):
+            # SystemExit too: argparse errors / cmd_* sys.exit in a stage
+            # must hit --keep-going and the summary, not kill the launcher
             traceback.print_exc()
             summary.append((name, "FAILED", time.time() - t0))
             if not args.keep_going:

@@ -55,12 +55,13 @@ def normalize_weather(weather: dict) -> np.ndarray:
     )
 
 
-def preprocess_image(path: Path) -> np.ndarray:
-    """→ normalized CHW float32 [3,256,256]."""
+def preprocess_image(path: Path, out_size: int = OUT_SIZE) -> np.ndarray:
+    """→ normalized CHW float32 [3,out_size,out_size]. Shared by the CARLA
+    and nuScenes caches — one place for resize/normalize semantics."""
     from PIL import Image
 
     with Image.open(path) as im:
-        im = im.convert("RGB").resize((OUT_SIZE, OUT_SIZE), Image.BILINEAR)
+        im = im.convert("RGB").resize((out_size, out_size), Image.BILINEAR)
     arr = np.asarray(im, np.float32) / 255.0
     arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
     return np.transpose(arr, (2, 0, 1))

@@ -16,17 +16,13 @@ from pathlib import Path
 import numpy as np
 
 from automoe_tpu.data.datasets import boxes_to_arrays  # noqa: F401 (re-export)
-from automoe_tpu.tools.preprocess_carla import IMAGENET_MEAN, IMAGENET_STD
+from automoe_tpu.tools.preprocess_carla import preprocess_image
 
 
 def preprocess_camera_image(path, out_size: int = 256) -> np.ndarray:
-    from PIL import Image
-
-    with Image.open(path) as im:
-        im = im.convert("RGB").resize((out_size, out_size), Image.BILINEAR)
-    arr = np.asarray(im, np.float32) / 255.0
-    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
-    return np.transpose(arr, (2, 0, 1))
+    # shared resize/normalize with the CARLA cache (preprocess_carla.py) —
+    # a semantics change there applies to both caches
+    return preprocess_image(path, out_size=out_size)
 
 
 def build_cache(version: str, dataroot: str, out_dir: str, splits=("train", "val")):

@@ -10,6 +10,8 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o liblapjv.so lapjv.cpp -lpthread
 #include <algorithm>
+#include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <limits>
 #include <thread>
@@ -98,13 +100,31 @@ int lapjv_solve_batch(const float* costs, int batch, int n_rows, int n_cols,
 
   std::fill(out, out + static_cast<size_t>(batch) * n_rows, -1);
 
+  std::atomic<int> bad{0};
   auto work = [&](int start, int step) {
     for (int b = start; b < batch; b += step) {
       const int nv = n_valid ? n_valid[b] : n_rows;
       if (nv <= 0) continue;
-      if (nv > n_cols) return;  // invalid; leave -1s
-      solve_one(costs + static_cast<size_t>(b) * n_rows * n_cols, nv, n_cols,
-                out + static_cast<size_t>(b) * n_rows);
+      if (nv > n_cols || nv > n_rows) {
+        // invalid sample: skip IT (not the worker's whole stripe) and
+        // report — nv > n_rows would read past this sample's slab and
+        // write past its out slice
+        bad.store(1, std::memory_order_relaxed);
+        continue;
+      }
+      const float* slab = costs + static_cast<size_t>(b) * n_rows * n_cols;
+      bool finite = true;  // NaN costs make the augmenting loop spin forever
+      for (int i = 0; finite && i < nv; ++i)
+        for (int j = 0; j < n_cols; ++j)
+          if (!std::isfinite(slab[static_cast<size_t>(i) * n_cols + j])) {
+            finite = false;
+            break;
+          }
+      if (!finite) {
+        bad.store(2, std::memory_order_relaxed);
+        continue;
+      }
+      solve_one(slab, nv, n_cols, out + static_cast<size_t>(b) * n_rows);
     }
   };
   if (workers == 1) {
@@ -115,7 +135,7 @@ int lapjv_solve_batch(const float* costs, int batch, int n_rows, int n_cols,
     for (int t = 0; t < workers; ++t) threads.emplace_back(work, t, workers);
     for (auto& t : threads) t.join();
   }
-  return 0;
+  return bad.load(std::memory_order_relaxed) ? 2 : 0;
 }
 
 }  // extern "C"

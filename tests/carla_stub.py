@@ -67,6 +67,8 @@ class _BlueprintLibrary:
         return _Blueprint(bp_id)
 
     def filter(self, pattern):
+        if "walker" in pattern:
+            return [_Blueprint("walker.pedestrian.0001")]
         return [_Blueprint("vehicle.stub.npc")]
 
 
@@ -197,6 +199,11 @@ class _World:
     def get_settings(self):
         # real CARLA returns a fresh WorldSettings copy on every call
         return types.SimpleNamespace(**vars(self._settings))
+
+    def get_random_location_from_navigation(self):
+        # ahead of the ego spawn point and inside the front camera's 90°
+        # FOV, so walker bboxes project into frame
+        return Location(6.0, 1.0, 0.2)
 
     def apply_settings(self, s):
         self._settings = s

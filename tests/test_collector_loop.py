@@ -79,3 +79,25 @@ def test_collect_run_legacy_rgb_only(tmp_path, carla_mod):
     assert not (run / "segmentation/front").exists()
     cfg = json.loads((run / "config.json").read_text())
     assert cfg["legacy_rgb_only"] is True
+
+
+def test_collect_run_spawns_and_annotates_walkers(tmp_path, carla_mod):
+    """Review r2: the collector previously never spawned the requested
+    walkers, logged the REQUESTED counts instead of spawned ones, and
+    annotated only vehicles — so the 'pedestrian' class (reference
+    collect_autopilot_data.py:249-264, :407-413) never occurred."""
+    from automoe_tpu.tools.collect_carla import collect_run
+
+    client = carla_mod.Client()
+    collect_run(client, 1, _args(tmp_path, walkers=2, vehicles=2))
+    run = tmp_path / "run_001"
+    labels = set()
+    for f in (run / "annots/front").glob("*.json"):
+        for b in json.loads(f.read_text())["boxes"]:
+            labels.add(b["label"])
+    assert "pedestrian" in labels, labels
+    assert "vehicle" in labels
+    log = json.loads((run / "vehicle_log.json").read_text())
+    td = log[0]["traffic_density"]
+    assert td["total_npc_walkers"] == 2  # actually spawned, not requested
+    assert td["total_npc_vehicles"] == 2

@@ -84,3 +84,21 @@ def test_callback_matcher_agrees_with_device_matcher(rng):
         c_dev = cost[np.asarray(qi_dev)[b, :n], np.arange(n)].sum()
         c_cb = cost[np.asarray(qi_cb)[b, :n], np.arange(n)].sum()
         np.testing.assert_allclose(c_dev, c_cb, rtol=1e-4)
+
+
+def test_batch_invalid_and_nan_rejected(rng):
+    """Review r2: an invalid n_valid used to abort the worker's whole
+    stripe (silently zeroing later samples) and NaN costs hung the
+    augmenting loop forever — both now fail loudly; valid samples in the
+    same batch still solve."""
+    from automoe_tpu.ops.lapjv_native import lapjv_batch
+
+    costs = rng.uniform(0, 1, (4, 5, 6)).astype(np.float32)
+    # nv > n_rows for one sample
+    with pytest.raises(ValueError, match="rc="):
+        lapjv_batch(costs, n_valid=np.asarray([5, 9, 5, 5], np.int32))
+    # NaN in one sample
+    bad = costs.copy()
+    bad[1, 2, 3] = np.nan
+    with pytest.raises(ValueError, match="rc="):
+        lapjv_batch(bad, n_valid=np.asarray([5, 5, 5, 5], np.int32))
