@@ -28,6 +28,7 @@ class CheckpointManager:
         self.dir = Path(root) / component / run_name
         self.save_freq = save_freq
         self.best_val = float("inf")
+        self.last_restore_loaded = False  # set by restore()
         self._ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             self.dir.mkdir(parents=True, exist_ok=True)
@@ -133,7 +134,10 @@ class CheckpointManager:
             if not (self.dir / "last").exists():
                 # crashed before ANY checkpoint landed: a supervisor
                 # relaunch with --resume-from step must start fresh, not
-                # crash-loop on a missing 'last'
+                # crash-loop on a missing 'last'. last_restore_loaded lets
+                # callers (e.g. the gating CLI's expert-ckpt graft) know
+                # nothing was actually restored.
+                self.last_restore_loaded = False
                 return state, 0, 0
             state, epoch = self.restore(state, which="last", mode=mode)
             return state, epoch + 1, 0
@@ -148,6 +152,7 @@ class CheckpointManager:
         if which == "step":
             template["batch_index"] = np.asarray(0)
         payload = self._ckptr.restore(path, template)
+        self.last_restore_loaded = True
         self.best_val = float(payload["best_val_loss"])
         epoch = int(payload["epoch"])
         if mode == "model":

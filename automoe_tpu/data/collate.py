@@ -41,8 +41,13 @@ def stack_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     # CarlaSequenceDataset's conditional 'context') may be present in only
     # part of a batch — keying off the first sample either crashed with
     # KeyError mid-epoch or silently dropped the other samples' data
-    keys = [k for k in samples[0] if all(k in s for s in samples)]
-    dropped = set(samples[0]) - set(keys)
+    common = set(samples[0])
+    union = set(samples[0])
+    for s in samples[1:]:
+        common &= set(s)
+        union |= set(s)
+    keys = [k for k in samples[0] if k in common]
+    dropped = union - common
     if dropped:
         import warnings
 

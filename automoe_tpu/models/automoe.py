@@ -29,10 +29,7 @@ from automoe_tpu.models.experts import (
     NuScenesExpert,
 )
 from automoe_tpu.models.extractors import make_extractor
-from automoe_tpu.models.gating import (
-    GatingNetwork,
-    gating_network_from_config,
-)
+from automoe_tpu.models.gating import gating_network_from_config
 from automoe_tpu.models.policy import TrajectoryPolicy
 
 Dtype = Any

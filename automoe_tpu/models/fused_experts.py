@@ -162,10 +162,7 @@ class FusedAutoMoE(nn.Module):
         from automoe_tpu.models.context import make_context_extractor
         from automoe_tpu.models.experts import _ConvHead, bilinear_resize
         from automoe_tpu.models.extractors import make_extractor
-        from automoe_tpu.models.gating import (
-    GatingNetwork,
-    gating_network_from_config,
-)
+        from automoe_tpu.models.gating import gating_network_from_config
         from automoe_tpu.models.policy import TrajectoryPolicy
 
         cfg = self.config

@@ -74,13 +74,15 @@ class GatingNetwork(nn.Module):
     apply_topk_at_eval: bool = False
     dtype: Dtype = jnp.float32
 
-    def _sample_noise(self, shape):
+    def _sample_noise(self, shape, *, allow_missing_rng: bool = False):
         if self.noise_scale <= 0.0:
             return jnp.zeros(shape, self.dtype)
-        if not self.has_rng("gating"):
+        if allow_missing_rng and not self.has_rng("gating"):
             # analysis paths (context_only_weights via .apply without rngs)
             # fall back to noise-free routing instead of InvalidRngError;
-            # pass rngs={'gating': key} for the reference's noisy analysis
+            # pass rngs={'gating': key} for the reference's noisy analysis.
+            # Training paths do NOT get this fallback — forgetting the
+            # 'gating' stream there must stay a loud error.
             return jnp.zeros(shape, self.dtype)
         rng = self.make_rng("gating")
         if self.noise_type.lower() == "gumbel":
@@ -139,7 +141,10 @@ class GatingNetwork(nn.Module):
         apply_topk = self.top_k > 0 and (train or self.apply_topk_at_eval)
         logits_for_weights = gate_logits
         if apply_topk:
-            noisy = gate_logits + self._sample_noise(gate_logits.shape)
+            noisy = gate_logits + self._sample_noise(
+                gate_logits.shape,
+                allow_missing_rng=processed is None,  # analysis path only
+            )
             logits_for_weights = _topk_mask(noisy, self.top_k)
 
         gate_weights = self._weights_from_logits(logits_for_weights)

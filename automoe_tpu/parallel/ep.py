@@ -42,7 +42,6 @@ from automoe_tpu.configs import AutoMoEConfig, load_model_config
 from automoe_tpu.models.automoe import _last_step, _make_expert
 from automoe_tpu.models.context import make_context_extractor
 from automoe_tpu.models.extractors import make_extractor
-from automoe_tpu.models.gating import GatingNetwork
 from automoe_tpu.models.policy import TrajectoryPolicy
 from automoe_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 

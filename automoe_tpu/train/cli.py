@@ -300,11 +300,13 @@ def cmd_gating(args):
         get_carla_sequence_loader, args, horizon=model_cfg.policy.num_waypoints
     )
     trainer = Trainer(wl, train, val, _train_cfg(args), mesh=mesh)
-    # expert checkpoints seed a FRESH run only: on --resume the Trainer
-    # already restored the full training state, and re-grafting the
-    # original expert files would roll back expert BN stats (or, with
-    # --unfreeze-experts, all trained expert weights) on every relaunch
-    if args.expert_ckpts and not args.resume:
+    # expert checkpoints seed FRESH state only: when a resume actually
+    # restored a checkpoint, re-grafting the original expert files would
+    # roll back expert BN stats (or, with --unfreeze-experts, all trained
+    # expert weights) on every relaunch. A supervisor relaunch that found
+    # NOTHING to restore (crash before the first checkpoint) still grafts —
+    # otherwise gating would train on frozen random experts.
+    if args.expert_ckpts and not trainer.resumed:
         paths = args.expert_ckpts.split(",")
         variables = {
             "params": trainer.state.params,

@@ -141,6 +141,7 @@ class Trainer:
         self.timer = StepTimer()
         self.start_epoch = 0
         self.start_batch = 0  # batches of start_epoch already consumed
+        self.resumed = False  # True only if a checkpoint actually loaded
         if config.resume:
             restored = self.ckpt.restore(
                 self.state, which=config.resume_from, mode=config.resume
@@ -153,6 +154,7 @@ class Trainer:
             else:
                 self.state, epoch = restored
                 self.start_epoch = epoch + 1 if config.resume == "full" else 0
+            self.resumed = self.ckpt.last_restore_loaded
         # host-side optimizer-step counter: reading int(state.step) in the
         # loop would block on the just-dispatched step and defeat the
         # bounded-async pipeline (one sync here, none per step)

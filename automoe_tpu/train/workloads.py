@@ -158,7 +158,7 @@ def bdd_expert_workload(
         example = {
             "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
             "bboxes": np.zeros((2, box_cap, 4), jnp.float32),
-            "labels": jnp.full((2, box_cap), -1, jnp.int32),
+            "labels": np.full((2, box_cap), -1, jnp.int32),
         }
     else:
         model = (
@@ -245,7 +245,7 @@ def nuscenes_workload(
         "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
         "lidar": np.zeros((2, lidar_cap, 3), jnp.float32),
         "boxes": np.zeros((2, box_cap, bbox_dim), jnp.float32),
-        "labels": jnp.full((2, box_cap), -1, jnp.int32),
+        "labels": np.full((2, box_cap), -1, jnp.int32),
     }
     return Workload(
         "nuscenes", model, loss_fn, example,
@@ -298,7 +298,7 @@ def carla_nuscenes_2d_workload(
     example = {
         "image": np.zeros((2, image_size, image_size, 3), jnp.float32),
         "bboxes": np.zeros((2, box_cap, 4), jnp.float32),
-        "labels": jnp.full((2, box_cap), -1, jnp.int32),
+        "labels": np.full((2, box_cap), -1, jnp.int32),
     }
     return Workload("carla_nuscenes_2d", model, loss_fn, example)
 

@@ -398,3 +398,29 @@ def test_resume_skip_is_index_level(tmp_path):
     # only the 2 remaining batches (8 samples) were materialized
     assert ds2.reads == 8, ds2.reads
     assert int(tr.state.step) == 4
+
+
+def test_resumed_flag_tracks_actual_restore(tmp_path):
+    """Review r2: trainer.resumed is True only when a checkpoint actually
+    loaded — the gating CLI uses it to graft expert checkpoints on a
+    supervisor relaunch that found nothing to restore."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+
+    def mk(resume=None, resume_from="last"):
+        train = DataLoader(
+            SyntheticSegDataset(8), batch_size=4, num_workers=1, shuffle=True
+        )
+        cfg = TrainConfig(
+            epochs=1, run_name="rf", ckpt_root=str(tmp_path / "ckpt"),
+            runs_root=str(tmp_path / "runs"),
+            resume=resume, resume_from=resume_from,
+        )
+        return Trainer(wl, train, train, cfg)
+
+    # nothing on disk: resume-from-step relaunch restores nothing
+    tr = mk(resume="full", resume_from="step")
+    assert tr.resumed is False and tr.start_epoch == 0
+
+    tr.fit()
+    tr2 = mk(resume="full", resume_from="step")
+    assert tr2.resumed is True and tr2.start_epoch == 1
