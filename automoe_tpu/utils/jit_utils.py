@@ -62,5 +62,15 @@ def enable_compile_cache(
 
 
 def jit_init(model, rng, *args, **kwargs):
-    """`model.init` under one jit (donates nothing; init args are closed over)."""
+    """`model.init` under one jit. Init args are closed over — so any
+    device arrays among them are first pulled to host numpy: closed-over
+    device arrays in jitted programs are the documented dispatch-poison
+    landmine (CLAUDE.md rule 1), and init shapes/values are tiny."""
+    import numpy as np
+
+    def to_host(x):
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    args = jax.tree.map(to_host, args)
+    kwargs = jax.tree.map(to_host, kwargs)
     return jax.jit(lambda k: model.init(k, *args, **kwargs))(rng)

@@ -1,8 +1,15 @@
 """Component-level device timing of the headline B=128 inference step.
 
 Breaks bench.py's e2e program into stages (preprocess, each expert,
-extractors+gating, policy) and times each with the serialized scan-chain
-method, to locate where the 0.67-MFU step spends its time.
+policy, full model) and times each with the serialized scan-chain
+method, to locate where the 0.67-MFU step spends its time. The
+extractors+gating stage is NOT timed standalone — it is the residual
+full_model - parts_sum (it needs all four experts' features as input, and
+measured end-to-end it is <2% of the step).
+
+All device values cross the jit boundary as ARGUMENTS — closed-over
+device arrays are the documented dispatch-poison landmine (CLAUDE.md
+rule 1; bench.py threads its values the same way).
 
 Usage: python benchmarks/component_bench.py [--batch 128]
 """
@@ -25,14 +32,14 @@ import numpy as np
 from automoe_tpu.utils import enable_compile_cache, jit_init
 
 
-def timed_chain(make_body, x0, k_lo=2, k_hi=10, reps=2):
-    """make_body() -> fn(carry) -> carry (serialized by data dependency)."""
-    body = make_body
+def timed_chain(body, x0, *aux, k_lo=2, k_hi=10, reps=2):
+    """body(carry, *aux) -> carry (serialized by data dependency); aux are
+    explicit jit arguments (device pytrees allowed)."""
 
     @functools.partial(jax.jit, static_argnames="K")
-    def chained(c, K):
+    def chained(c, K, *aux):
         def step(c, _):
-            return body(c), ()
+            return body(c, *aux), ()
 
         out, _ = jax.lax.scan(step, c, None, length=K)
         # scalar output: fetching the full carry (tens of MB over the
@@ -40,15 +47,21 @@ def timed_chain(make_body, x0, k_lo=2, k_hi=10, reps=2):
         return jnp.sum(out.astype(jnp.float32))
 
     def run(K):
-        np.asarray(chained(x0, K))
+        np.asarray(chained(x0, K, *aux))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(chained(x0, K))
+            np.asarray(chained(x0, K, *aux))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return max((run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3, 1e-6)
+    slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
+    if slope <= 0:
+        raise RuntimeError(
+            f"non-positive chain slope ({slope:.4f} ms) — measurement "
+            "invalid (RPC noise swamped the chain); rerun"
+        )
+    return slope
 
 
 def main():
@@ -78,22 +91,29 @@ def main():
     img = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32), dtype)
     results = {}
 
-    # preprocess: u8 -> resize -> normalize
+    # preprocess: u8 -> resize -> normalize (mats/mean/std are numpy —
+    # numpy constants trace as HLO literals and are the prescribed pattern)
     mats = resize_weights(600, 800, S, S, antialias=True)
-    frames = jnp.asarray(rng.integers(0, 255, (B, 600, 800, 3), dtype=np.uint8))
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)
     std = np.asarray([0.229, 0.224, 0.225], np.float32)
 
-    def prep_body(c):
+    def prep_body(c, frames):
         x = frames.astype(dtype) / 255.0 + c[0, 0, 0, 0] * jnp.asarray(1e-7, dtype)
         x = resize_bilinear(x, S, S, antialias=True, mats=mats)
         return (x - mean.astype(dtype)) / std.astype(dtype)
 
     if want("preprocess"):
-        results["preprocess"] = timed_chain(prep_body, img)
+        frames = jnp.asarray(
+            rng.integers(0, 255, (B, 600, 800, 3), dtype=np.uint8)
+        )
+        results["preprocess"] = timed_chain(prep_body, img, frames)
 
-    # each expert alone (gating-pool serving mode, like bench.py)
+    # each expert alone (gating-pool serving mode, like bench.py);
+    # construction + init only for the stages actually requested
     for i, ecfg in enumerate(cfg.experts):
+        name = f"expert_{i}_{ecfg.type}"
+        if not (want(name) or want("expert")):
+            continue
         expert = _make_expert(ecfg, dtype, name=f"e{i}", upsample=False)
         if ecfg.type == "nuscenes":
             lidar = jnp.zeros((B, 1000, 3), dtype)
@@ -101,38 +121,37 @@ def main():
                 expert, jax.random.key(0), {"image": img, "lidar": lidar}
             )
 
-            def body(c, expert=expert, variables=variables, lidar=lidar):
-                out = expert.apply(
-                    variables, {"image": c, "lidar": lidar}
-                )
+            def body(c, variables, lidar, expert=expert):
+                out = expert.apply(variables, {"image": c, "lidar": lidar})
                 return c + out["class_logits"].mean().astype(dtype) * 1e-7
+
+            results[name] = timed_chain(body, img, variables, lidar)
         else:
             variables = jit_init(expert, jax.random.key(0), img)
 
-            def body(c, expert=expert, variables=variables):
+            def body(c, variables, expert=expert):
                 out = expert.apply(variables, c)
                 leaf = out["class_logits"] if isinstance(out, dict) else out
                 return c + leaf.mean().astype(dtype) * 1e-7
 
-        if want(f"expert_{i}_{ecfg.type}") or want("expert"):
-            results[f"expert_{i}_{ecfg.type}"] = timed_chain(body, img)
+            results[name] = timed_chain(body, img, variables)
 
     # policy head alone
-    policy = TrajectoryPolicy(
-        horizon=cfg.policy.num_waypoints,
-        context_dim=cfg.gating.processed_dim,
-        backbone_dim=cfg.policy.backbone_dim,
-        dtype=dtype,
-    )
-    ctx = jnp.zeros((B, cfg.gating.processed_dim), dtype)
-    pvars = jit_init(policy, jax.random.key(0), img, ctx)
-
-    def pol_body(c):
-        out = policy.apply(pvars, c, ctx)
-        return c + out["waypoints"].mean().astype(dtype) * 1e-7
-
     if want("policy"):
-        results["policy"] = timed_chain(pol_body, img)
+        policy = TrajectoryPolicy(
+            horizon=cfg.policy.num_waypoints,
+            context_dim=cfg.gating.processed_dim,
+            backbone_dim=cfg.policy.backbone_dim,
+            dtype=dtype,
+        )
+        ctx = jnp.zeros((B, cfg.gating.processed_dim), dtype)
+        pvars = jit_init(policy, jax.random.key(0), img, ctx)
+
+        def pol_body(c, pvars, ctx):
+            out = policy.apply(pvars, c, ctx)
+            return c + out["waypoints"].mean().astype(dtype) * 1e-7
+
+        results["policy"] = timed_chain(pol_body, img, pvars, ctx)
 
     # full model (reference point)
     if want("full_model"):
@@ -147,11 +166,11 @@ def main():
         }
         mvars = jit_init(model, jax.random.key(0), batch)
 
-        def full_body(c):
+        def full_body(c, mvars, batch):
             out = model.apply(mvars, {**batch, "image": c})
             return c + out["waypoints"].mean().astype(dtype) * 1e-7
 
-        results["full_model"] = timed_chain(full_body, img)
+        results["full_model"] = timed_chain(full_body, img, mvars, batch)
 
     total_parts = sum(v for k, v in results.items()
                       if k not in ("full_model",))
