@@ -57,7 +57,10 @@ def evaluate_automoe(
     )}
     total, weights, logits, ctx_rows = 0, [], [], []
     for batch in batches:
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+        # keep _real_count host-side: jnp.asarray'ing it would give the
+        # tail batch a different input pytree and force a full recompile
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k != "_real_count" and not isinstance(v, list)}
         pred = forward_fn(variables, jb)
         m = automoe_eval_batch(pred, jb["waypoints"], jb["speed"])
         # a repeat-padded tail batch carries its real sample count — weight

@@ -22,10 +22,15 @@ import socketserver
 import struct
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
+
+# JSON headers are tiny; a 4-byte length prefix can claim up to 4 GiB —
+# cap it so a malformed client can't force a huge buffered recv.
+MAX_HEADER_BYTES = 64 * 1024
 
 
 class BatchingServer:
@@ -61,6 +66,11 @@ class BatchingServer:
             "rows_padded": 0,
             "max_batch_seen": 0,
         }
+        # per-request queue wait (submit → batch formed) and per-batch
+        # device step time, seconds; ring buffers so stats stay O(1)
+        self._queue_lat = deque(maxlen=2048)
+        self._device_lat = deque(maxlen=2048)
+        self._lat_lock = threading.Lock()
 
     # -- lifecycle -------------------------------------------------------
 
@@ -83,7 +93,7 @@ class BatchingServer:
         # resolve abandoned requests so callers blocked in .result() wake
         while True:
             try:
-                *_, fut = self._q.get_nowait()
+                _, _, fut, _ = self._q.get_nowait()
             except queue.Empty:
                 break
             if not fut.done():
@@ -102,8 +112,17 @@ class BatchingServer:
         expert_weights} rows (no batch dim)."""
         if self._worker is None:
             raise RuntimeError("server not started")
+        frame = np.asarray(frame_u8, np.uint8)
+        # validate here so one bad client can't land a mismatched frame in
+        # a batching window (np.stack across the group would raise and,
+        # unhandled, kill the worker for everyone)
+        expect = (*self.engine.camera_hw, 3)
+        if frame.shape != expect:
+            raise ValueError(
+                f"frame shape {frame.shape} != engine camera {expect}"
+            )
         fut: Future = Future()
-        self._q.put((np.asarray(frame_u8, np.uint8), float(speed_kmh), fut))
+        self._q.put((frame, float(speed_kmh), fut, time.perf_counter()))
         return fut
 
     def infer(self, frame_u8: np.ndarray, speed_kmh: float) -> Dict[str, np.ndarray]:
@@ -133,30 +152,66 @@ class BatchingServer:
                     group.append(self._q.get(timeout=remain))
                 except queue.Empty:
                     break
-            self._process(group)
+            try:
+                self._process(group)
+            except Exception as e:  # never let the worker die
+                for _, _, fut, _ in group:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     def _process(self, group):
-        frames = np.stack([g[0] for g in group])
-        speeds = np.asarray([g[1] for g in group], np.float32)
-        n = len(group)
-        b = self._bucket_for(n)
-        if b > n:  # pad by repeating the last row — static shapes
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], b - n, axis=0)]
-            )
-            speeds = np.concatenate([speeds, np.repeat(speeds[-1:], b - n)])
+        t_formed = time.perf_counter()
         try:
+            frames = np.stack([g[0] for g in group])
+            speeds = np.asarray([g[1] for g in group], np.float32)
+            n = len(group)
+            b = self._bucket_for(n)
+            if b > n:  # pad by repeating the last row — static shapes
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], b - n, axis=0)]
+                )
+                speeds = np.concatenate(
+                    [speeds, np.repeat(speeds[-1:], b - n)]
+                )
             out = self.engine.infer_batch(frames, speeds)
         except Exception as e:  # propagate to every caller
-            for _, _, fut in group:
+            for _, _, fut, _ in group:
                 fut.set_exception(e)
             return
+        t_done = time.perf_counter()
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["rows_padded"] += b - n
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], n)
-        for i, (_, _, fut) in enumerate(group):
+        with self._lat_lock:
+            self._device_lat.append(t_done - t_formed)
+            for _, _, _, t_enq in group:
+                self._queue_lat.append(t_formed - t_enq)
+        for i, (_, _, fut, _) in enumerate(group):
             fut.set_result({k: v[i] for k, v in out.items()})
+
+    def stats_snapshot(self) -> Dict:
+        """Counters plus p50/p99 queue-wait and device-step latency (ms)
+        over the last ≤2048 requests/batches — makes the max_wait_ms /
+        bucket tradeoff measurable in deployment (the knob the
+        reference's 20 Hz loop, inference/run_automoe.py:242-291, never
+        had)."""
+        snap = dict(self.stats)
+        with self._lat_lock:
+            qlat = np.asarray(self._queue_lat, np.float64)
+            dlat = np.asarray(self._device_lat, np.float64)
+        for name, arr in (("queue", qlat), ("device", dlat)):
+            if arr.size:
+                snap[f"{name}_latency_ms_p50"] = float(
+                    np.percentile(arr, 50) * 1e3
+                )
+                snap[f"{name}_latency_ms_p99"] = float(
+                    np.percentile(arr, 99) * 1e3
+                )
+            else:
+                snap[f"{name}_latency_ms_p50"] = None
+                snap[f"{name}_latency_ms_p99"] = None
+        return snap
 
 
 # -- TCP front-end --------------------------------------------------------
@@ -185,6 +240,8 @@ def _send_msg(sock, header: dict, payload: bytes = b""):
 
 def _recv_msg(sock) -> Tuple[dict, socket.socket]:
     (hlen,) = struct.unpack(">I", _recv_exact(sock, 4))
+    if hlen > MAX_HEADER_BYTES:
+        raise ConnectionError(f"header length {hlen} exceeds cap")
     header = json.loads(_recv_exact(sock, hlen))
     return header, sock
 
@@ -200,7 +257,7 @@ class _Handler(socketserver.BaseRequestHandler):
                 except ConnectionError:
                     return
                 if header.get("op") == "stats":
-                    _send_msg(sock, {"stats": dict(server.batcher.stats),
+                    _send_msg(sock, {"stats": server.batcher.stats_snapshot(),
                                      "buckets": server.batcher.buckets})
                     continue
                 # Consume the declared payload BEFORE any error reply —

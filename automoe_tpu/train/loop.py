@@ -215,9 +215,11 @@ class Trainer:
                 total += float(loss.sum())
                 n += int(loss.size)
 
+        last_i = -1
         for i, batch in enumerate(self.train_loader):
             if i < skip_in_loop:
                 continue
+            last_i = i
             if any(isinstance(v, jax.Array) for v in batch.values()):
                 raise ValueError(
                     "steps_per_call > 1 stacks host batches itself — don't "
@@ -230,8 +232,15 @@ class Trainer:
             )
             if len(group) < k:
                 continue
+            # stack over the INTERSECTION of keys: stack_batch drops keys
+            # per-batch by intersection (optional fields like CARLA
+            # 'context'), so batches within one group can differ — a raw
+            # group[0] iteration would KeyError mid-epoch
+            common = set(group[0])
+            for b in group[1:]:
+                common &= set(b)
             stacked = {
-                kk: np.stack([b[kk] for b in group]) for kk in group[0]
+                kk: np.stack([b[kk] for b in group]) for kk in sorted(common)
             }
             group = []
             if self.mesh is not None:
@@ -254,13 +263,22 @@ class Trainer:
                      **self.timer.stats()},
                     prefix="train",
                 )
-        # tail: leftover batches run through the single-step path
-        for b in group:
+        # tail: leftover batches run through the single-step path with the
+        # same per-batch bookkeeping as the scan path (heartbeat keeps the
+        # supervisor's hang detection fresh; _maybe_save_step keeps
+        # --save-every-steps working when an epoch is shorter than K)
+        tail0 = last_i - len(group) + 1  # loop index of group[0]
+        for j, b in enumerate(group):
+            self.timer.start()
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(b), self.rng
             )
-            self._host_step += 1
             pending.append(metrics["loss"])
+            flush_pending(max(0, self.cfg.max_inflight))
+            self.timer.stop()
+            self._maybe_save_step(epoch, consumed0 + tail0 + j + 1)
+            self._host_step += 1
+            self.logger.heartbeat()
         flush_pending(0)
         avg = total / max(1, n)
         self._log_epoch_summary(avg, n, t0)
@@ -348,6 +366,17 @@ class Trainer:
         self._log_epoch_summary(avg, n, t0)
         return avg
 
+    def _exact_tail_ok(self, real: int) -> bool:
+        """True when the padded val tail can be trimmed to its real rows:
+        single process (the count is per-process) and, under a mesh, a
+        count the 'data' axis still divides."""
+        if real <= 0 or jax.process_count() > 1:
+            return False
+        if self.mesh is None:
+            return True
+        data = dict(self.mesh.shape).get("data", 1)
+        return real % data == 0
+
     def validate(self, epoch: int) -> float:
         """Validation epoch: loss + every scalar loss metric + optional
         per-batch task metrics (avg-IoU/recall, pixel-acc/mIoU — reference
@@ -358,16 +387,23 @@ class Trainer:
         n = 0.0
         for batch in self.val_loader:
             # the non-drop_last tail is repeat-padded to keep shapes
-            # static; weight its batch means by the REAL sample fraction
-            # so duplicates don't bias the epoch averages (the reference
-            # evaluates the true remainder batch)
+            # static. When possible, evaluate the TRUE remainder batch by
+            # trimming the duplicate rows — exactly the reference's
+            # semantics (train_bdd100k_ddp.py:336-375), at the cost of one
+            # extra XLA program for the tail shape (compiled once, cached).
+            # Otherwise (multi-process, or a mesh the tail doesn't divide)
+            # fall back to weighting the batch mean by the real fraction —
+            # correct in expectation but duplicates weigh inside the mean.
             real = batch.get("_real_count") if isinstance(batch, dict) else None
             db = self._device_batch(batch)
             if real is not None:
+                real = int(real)
                 # _real_count is the PER-PROCESS tail count; weight against
                 # the per-process batch slice, not the global batch
                 bsz = next(iter(db.values())).shape[0] // jax.process_count()
                 w = float(real) / float(max(1, bsz))
+                if self._exact_tail_ok(real):
+                    db = {k: v[:real] for k, v in db.items()}
             else:
                 w = 1.0
             self.logger.heartbeat()

@@ -228,6 +228,82 @@ def test_trainer_scan_steps_per_call(tmp_path):
     ), lines[:3]
 
 
+def test_validate_exact_tail_bit_equality(tmp_path):
+    """VERDICT r2 #6: on a non-divisible val set the padded tail batch is
+    TRIMMED to its real rows before eval — validate() must equal the
+    unpadded computation bit-for-bit (the reference evaluates the true
+    remainder batch, train_bdd100k_ddp.py:336-375)."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+    ds = SyntheticSegDataset(6, seed=3)  # 6 samples, batch 4 → tail of 2
+    train = DataLoader(SyntheticSegDataset(4), batch_size=4, num_workers=1)
+    val = DataLoader(
+        ds, batch_size=4, num_workers=1, shuffle=False, drop_last=False
+    )
+    cfg = TrainConfig(
+        epochs=1, run_name="tail", ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"),
+    )
+    tr = Trainer(wl, train, val, cfg)
+    got = tr.validate(0)
+
+    # manual unpadded computation with the same eval_step
+    def batch_of(samples):
+        return {
+            "image": np.stack([s["image"] for s in samples]),
+            "mask": np.stack([s["mask"] for s in samples]),
+        }
+
+    m_full = tr.eval_step(tr.state, batch_of(ds.samples[:4]), tr.rng)
+    m_tail = tr.eval_step(tr.state, batch_of(ds.samples[4:6]), tr.rng)
+    want = (float(m_full["loss"]) * 1.0 + float(m_tail["loss"]) * 0.5) / 1.5
+    assert got == want, (got, want)
+
+
+def test_scan_tail_bookkeeping(tmp_path):
+    """r3 advisor fix: when the loader is shorter than steps_per_call,
+    every batch runs through the scan path's tail loop — which must still
+    write --save-every-steps checkpoints and heartbeat."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(
+        SyntheticSegDataset(12), batch_size=4, num_workers=1, shuffle=True
+    )
+    cfg = TrainConfig(
+        epochs=1, run_name="stail", ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"),
+        steps_per_call=8,  # > 3 batches → all batches hit the tail loop
+        save_every_steps=2,
+    )
+    tr = Trainer(wl, train, train, cfg)
+    tr.train_epoch(0)
+    assert int(tr.state.step) == 3
+    assert (tmp_path / "ckpt" / "bdd_drivable" / "stail" / "step").exists()
+
+
+def test_scan_group_with_mixed_key_sets(tmp_path):
+    """r3 advisor fix: stack_batch drops optional keys per-batch by
+    intersection, so batches inside one scan group can carry different
+    key sets — the group stack must intersect keys, not KeyError."""
+
+    class MixedAux(SyntheticSegDataset):
+        def __getitem__(self, i):
+            s = dict(super().__getitem__(i))
+            if i < 4:  # first batch (shuffle off) carries an extra key
+                s["aux"] = np.float32(i)
+            return s
+
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(
+        MixedAux(8), batch_size=4, num_workers=1, shuffle=False
+    )
+    cfg = TrainConfig(
+        epochs=1, run_name="mix", ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"), steps_per_call=2,
+    )
+    tr = Trainer(wl, train, train, cfg)
+    tr.train_epoch(0)  # group = [batch-with-aux, batch-without] — no crash
+    assert int(tr.state.step) == 2
+
+
 def test_trainer_profile_trace(tmp_path):
     """profile_dir captures a jax.profiler trace of the first epoch."""
     wl = bdd_expert_workload("drivable", image_size=32)

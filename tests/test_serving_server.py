@@ -219,6 +219,94 @@ def test_engine_from_orbax_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_submit_rejects_mismatched_frames(engine):
+    """r3 advisor fix: a frame whose shape differs from engine.camera_hw
+    is rejected at submit() — previously two clients with different sizes
+    in one batching window killed the worker thread via np.stack and hung
+    every later request forever."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    with BatchingServer(engine, max_batch=4, max_wait_ms=20) as srv:
+        with pytest.raises(ValueError, match="frame shape"):
+            srv.submit(np.zeros((8, 8, 3), np.uint8), 0.0)
+        # server still healthy for well-formed requests
+        out = srv.infer(np.zeros((*CAM_HW, 3), np.uint8), 1.0)
+        assert np.isfinite(out["waypoints"]).all()
+
+
+def test_worker_survives_group_exception(engine):
+    """The batching worker contains per-group failures: a poison group
+    (mismatched shapes injected directly into the queue, bypassing
+    submit validation) resolves its futures with the exception and the
+    worker keeps serving."""
+    import time as _time
+    from concurrent.futures import Future
+
+    from automoe_tpu.serving.server import BatchingServer
+
+    with BatchingServer(engine, max_batch=4, max_wait_ms=30) as srv:
+        bad1, bad2 = Future(), Future()
+        t = _time.perf_counter()
+        srv._q.put((np.zeros((4, 4, 3), np.uint8), 0.0, bad1, t))
+        srv._q.put((np.zeros((6, 6, 3), np.uint8), 0.0, bad2, t))
+        with pytest.raises(Exception):
+            bad1.result(timeout=30)
+        with pytest.raises(Exception):
+            bad2.result(timeout=30)
+        assert srv._worker.is_alive()
+        out = srv.infer(np.zeros((*CAM_HW, 3), np.uint8), 2.0)
+        assert np.isfinite(out["waypoints"]).all()
+
+
+def test_stats_snapshot_latency_percentiles(engine):
+    """VERDICT r2 #9: the stats op reports p50/p99 queue-wait and device
+    latency so the max_wait_ms/bucket tradeoff is measurable live."""
+    from automoe_tpu.serving.server import BatchingServer, Client, serve_tcp
+
+    with BatchingServer(engine, max_batch=4, max_wait_ms=20) as batcher:
+        for i in range(5):
+            batcher.infer(_frames(1, seed=i)[0], float(i))
+        snap = batcher.stats_snapshot()
+        for key in ("queue_latency_ms_p50", "queue_latency_ms_p99",
+                    "device_latency_ms_p50", "device_latency_ms_p99"):
+            assert snap[key] is not None and snap[key] >= 0.0
+        assert snap["queue_latency_ms_p50"] <= snap["queue_latency_ms_p99"]
+        # and over the wire
+        tcp = serve_tcp(batcher)
+        try:
+            c = Client("127.0.0.1", tcp.server_address[1])
+            stats = c.stats()["stats"]
+            assert stats["device_latency_ms_p50"] is not None
+            c.close()
+        finally:
+            tcp.shutdown()
+            tcp.server_close()
+
+
+def test_header_length_cap(engine):
+    """A bogus 4-byte length prefix (up to 4 GiB) must not trigger a
+    giant buffered recv — the connection is dropped at the cap."""
+    import socket as _socket
+    import struct as _struct
+
+    from automoe_tpu.serving.server import BatchingServer, serve_tcp
+
+    with BatchingServer(engine, max_batch=2, max_wait_ms=10) as batcher:
+        tcp = serve_tcp(batcher)
+        try:
+            s = _socket.create_connection(
+                ("127.0.0.1", tcp.server_address[1])
+            )
+            s.sendall(_struct.pack(">I", 0xFFFFFFFF))
+            s.settimeout(10)
+            # server drops the connection without consuming 4 GiB
+            assert s.recv(1) == b""
+            s.close()
+        finally:
+            tcp.shutdown()
+            tcp.server_close()
+
+
 def test_server_desync_and_close_robustness(engine):
     """Protocol robustness (review r2): a bad header can't desync the
     length-prefixed stream (bounded dims, payload consumed before error
@@ -264,7 +352,7 @@ def test_server_desync_and_close_robustness(engine):
         from concurrent.futures import Future
 
         fut = Future()
-        b2._q.put((np.zeros((*engine.camera_hw, 3), np.uint8), 0.0, fut))
+        b2._q.put((np.zeros((*engine.camera_hw, 3), np.uint8), 0.0, fut, 0.0))
     finally:
         b2._worker = None
         b2.close()
