@@ -33,8 +33,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def to_numpy_state_dict(module) -> Dict[str, np.ndarray]:
-    """torch.nn.Module → {name: np.ndarray} (helper for parity tests)."""
-    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    """torch.nn.Module → {name: np.ndarray} (helper for parity tests).
+
+    Copies: `.numpy()` would alias torch's storage, and a torch optimizer
+    updates parameters IN PLACE — an aliased snapshot silently tracks
+    subsequent training (bit the N-step trajectory-parity tests)."""
+    return {
+        k: v.detach().cpu().numpy().copy()
+        for k, v in module.state_dict().items()
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -141,6 +148,64 @@ def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.nda
     if not prefix:
         return dict(sd)
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def import_torchvision_resnet18(sd, prefix: str = "") -> Dict[str, Any]:
+    """Raw torchvision `resnet18` state dict (canonical key names —
+    conv1/bn1/layerS.B.*, the layout `resnet18(pretrained=True)` downloads;
+    reference models/experts/bdd_detection_expert.py:9-10) → variables for
+    `ResNet18Backbone`. The classifier (`fc.*`) is dropped, exactly like
+    the reference's `children()[:-2]` / `[:-1]` slicing. The expected
+    key/shape contract ships as ckpt/torchvision_resnet18_manifest.json
+    and is pinned by tests/test_torchvision_manifest.py."""
+    sd = {k: v for k, v in _strip_prefix(sd, prefix).items()
+          if not k.startswith("fc.")}
+    rules = [
+        (r"conv1", "conv1"),
+        (r"bn1", "bn1"),
+        (r"layer([1-4])\.([01])\.(conv1|bn1|conv2|bn2)", r"layer\1_\2/\3"),
+        (r"layer([1-4])\.([01])\.downsample\.0", r"layer\1_\2/downsample_conv"),
+        (r"layer([1-4])\.([01])\.downsample\.1", r"layer\1_\2/downsample_bn"),
+    ]
+    return _variables(*_convert(sd, rules))
+
+
+def graft_backbone(variables: Dict[str, Any], backbone: Dict[str, Any],
+                   path: str = "backbone") -> Dict[str, Any]:
+    """Replace the `path` subtree of an expert's variables with imported
+    backbone variables (the pretrained-init flow: reference experts start
+    from ImageNet ResNet-18). Shapes are validated leaf-by-leaf."""
+    import jax
+
+    out = jax.tree.map(lambda x: x, variables)  # shallow-ish copy
+    for col in ("params", "batch_stats"):
+        if col not in backbone:
+            continue
+        if path not in out.get(col, {}):
+            raise KeyError(f"no '{path}' subtree in variables['{col}']")
+        old, new = out[col][path], backbone[col]
+        old_shapes = {
+            k: v.shape for k, v in _flatten_tree(old).items()
+        }
+        new_shapes = {
+            k: v.shape for k, v in _flatten_tree(new).items()
+        }
+        if old_shapes != new_shapes:
+            diff = set(old_shapes.items()) ^ set(new_shapes.items())
+            raise ValueError(f"backbone shape mismatch: {sorted(diff)[:6]}")
+        out[col] = dict(out[col])
+        out[col][path] = new
+    return out
+
+
+def _flatten_tree(tree, prefix=()) -> Dict[Tuple[str, ...], Any]:
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            flat.update(_flatten_tree(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = v
+    return flat
 
 
 def import_detection_expert(sd, prefix: str = "") -> Dict[str, Any]:

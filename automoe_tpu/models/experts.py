@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from automoe_tpu.models.norm import TorchBatchNorm
 import jax
 import jax.numpy as jnp
 
@@ -116,7 +118,7 @@ class TNet(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         # x: [B, N, k]. Per-point 1x1 convs are plain Dense layers over the
         # feature axis (maps onto the MXU as one batched matmul).
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
@@ -143,7 +145,7 @@ class PointNet(nn.Module):
         self, x: jnp.ndarray, *, train: bool = False, deterministic: bool = True
     ) -> jnp.ndarray:
         # x: [B, N, 3]
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )

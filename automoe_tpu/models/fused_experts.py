@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Any, Dict, List, Sequence
 
 import flax.linen as nn
+
+from automoe_tpu.models.norm import TorchBatchNorm
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,7 +35,7 @@ class FusedBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         total = self.filters * self.groups
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )
@@ -77,7 +79,7 @@ class FusedResNet18Trunk(nn.Module):
             use_bias=False, feature_group_count=self.groups,
             dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
         )(x)

@@ -10,6 +10,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from automoe_tpu.models.norm import TorchBatchNorm
 import jax.numpy as jnp
 
 Dtype = Any
@@ -21,7 +23,7 @@ class EasyBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name=name,
         )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+
+from automoe_tpu.models.norm import TorchBatchNorm
 import jax.numpy as jnp
 
 Dtype = Any
@@ -24,7 +26,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        norm = lambda name: nn.BatchNorm(  # noqa: E731
+        norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
@@ -86,7 +88,7 @@ class ResNet18Backbone(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,

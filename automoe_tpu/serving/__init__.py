@@ -18,4 +18,5 @@ from automoe_tpu.serving.quant import (  # noqa: F401
     quantize_folded,
     resnet_float_forward,
     resnet_quant_forward,
+    resnet_quant_forward_q8,
 )

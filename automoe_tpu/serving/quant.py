@@ -166,6 +166,83 @@ def resnet_quant_forward(qpack: Dict, scales: Dict[str, float], x: jnp.ndarray,
     return _resnet_graph(conv, x)
 
 
+def resnet_quant_forward_q8(qpack: Dict, scales: Dict[str, float],
+                            x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """int8-RESIDENT trunk: requantization is folded into each conv's
+    dequant epilogue, so activations cross HBM as int8 only.
+
+    The v1 path round-trips every activation through bf16 (conv epilogue
+    writes bf16, the next conv's quantize kernel reads bf16 and writes
+    int8 — ~5 bytes/element of HBM traffic per boundary); TPU convs don't
+    fuse with producers, so that traffic is real. Here each fused
+    elementwise kernel goes int32 → (scale·x + b, relu, residual add) →
+    int8 directly (~2 bytes/element), and the identity residual is
+    DEQUANTIZED from the block's int8 input instead of keeping a float
+    copy alive. Numerics: conv2's input is now quantized from fp32
+    (slightly better than v1's bf16), the residual carries one extra
+    quantization (slightly worse); fidelity bounds in tests/test_quant.py
+    cover both paths.
+    """
+    p = qpack["conv1"]
+    if "wq" in p:
+        raise NotImplementedError("q8 trunk keeps the stem float "
+                                  "(measured faster + tighter, see ledger)")
+
+    def sx(name: str) -> np.float32:
+        return np.float32(float(max(scales[name], 1e-12)) / 127.0)
+
+    def quant(v_f32, s):
+        return jnp.clip(
+            jnp.round(v_f32 * np.float32(1.0 / s)), -127, 127
+        ).astype(jnp.int8)
+
+    def deq(y_i32, p, s_in):
+        return (
+            y_i32.astype(jnp.float32)
+            * (jnp.asarray(p["sw"], jnp.float32) * s_in)
+            + jnp.asarray(p["b"], jnp.float32)
+        )
+
+    # float stem (bf16) + maxpool, then enter the int8 domain once
+    h = _conv(x.astype(dtype), jnp.asarray(p["w"], dtype), 2, 3) + jnp.asarray(
+        p["b"], dtype
+    )
+    h = jax.lax.reduce_window(
+        jax.nn.relu(h), -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    si = sx("layer1_0/conv1")
+    xq = quant(h.astype(jnp.float32), si)
+
+    for stage, filters, stride in _STAGES:
+        for blk in (0, 1):
+            n = f"layer{stage}_{blk}"
+            s = stride if blk == 0 else 1
+            p1, p2 = qpack[f"{n}/conv1"], qpack[f"{n}/conv2"]
+            s2 = sx(f"{n}/conv2")
+            y1 = _conv(xq, jnp.asarray(p1["wq"]), s, 1, preferred=jnp.int32)
+            hq = quant(jax.nn.relu(deq(y1, p1, si)), s2)
+            y2 = _conv(hq, jnp.asarray(p2["wq"]), 1, 1, preferred=jnp.int32)
+            a2 = deq(y2, p2, s2)
+            if f"{n}/downsample_conv" in qpack:
+                pd = qpack[f"{n}/downsample_conv"]
+                rd = _conv(xq, jnp.asarray(pd["wq"]), s, 0,
+                           preferred=jnp.int32)
+                # the downsample shares conv1's int8 input tensor, so its
+                # dequant uses si (its own calibrated scale is ~equal)
+                r = deq(rd, pd, si)
+            else:
+                r = xq.astype(jnp.float32) * si
+            out = jax.nn.relu(a2 + r)
+            if stage == 4 and blk == 1:  # last block → heads want bf16
+                return out.astype(dtype)
+            nxt = (f"layer{stage}_1/conv1" if blk == 0
+                   else f"layer{stage + 1}_0/conv1")
+            si = sx(nxt)
+            xq = quant(out, si)
+    raise AssertionError("unreachable")
+
+
 # ---------------------------------------------------------------------------
 # AutoMoE-level assembly
 # ---------------------------------------------------------------------------
@@ -239,15 +316,19 @@ def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
 
 
 def make_quant_forward(config, scales: List[Dict[str, float]],
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, trunk: str = "q8"):
     """fn(variables, qexperts, batch) -> AutoMoE serving outputs with int8
     expert trunks (heads/gating/policy bf16, fast gating pool — the same
-    regime as bench.py's serving model). nuScenes expert must be
-    image-only (lidar branch stays on the standard path).
+    regime as bench.py's serving model). A lidar-enabled nuScenes expert
+    keeps its PointNet branch bf16 (it is tiny — the int8 win is in the
+    image trunk) so models trained with the shipped nuscenes_v5e preset
+    serve on this path too.
 
     `scales` (qpack["scales"]) are host floats baked in at trace time;
     `qexperts` (qpack["experts"]) is a pytree that can cross the jit
-    boundary as arguments."""
+    boundary as arguments. `trunk` picks the int8 trunk implementation:
+    'q8' (int8-resident, default) or 'v1' (bf16 round-trip between
+    convs)."""
     from automoe_tpu.configs import load_model_config
     from automoe_tpu.models.automoe import _last_step
     from automoe_tpu.models.context import make_context_extractor
@@ -257,9 +338,9 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
     from automoe_tpu.ops.resize import mean_of_resize_weights
 
     cfg = load_model_config(config)
-    for e in cfg.experts:
-        if e.type == "nuscenes" and e.use_lidar:
-            raise NotImplementedError("quant serving path is image-only nuScenes")
+    trunk_fwd = {
+        "q8": resnet_quant_forward_q8, "v1": resnet_quant_forward
+    }[trunk]
 
     ctx_extractor = make_context_extractor(cfg.context, dtype)
     # deterministic routing for serving (noise zeroed)
@@ -302,7 +383,7 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
         )
         expert_features = []
         for i, ecfg in enumerate(cfg.experts):
-            feats = resnet_quant_forward(
+            feats = trunk_fwd(
                 qexperts[i], scales[i], image, dtype=dtype
             )  # [B, h, w, 512]
             ep = params[f"expert_{i}"]
@@ -325,11 +406,36 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
                 expert_out = _conv(
                     h, jnp.asarray(ep["decoder"]["conv2"]["kernel"], dtype), 1, 0
                 ) + jnp.asarray(ep["decoder"]["conv2"]["bias"], dtype)
-            else:  # nuscenes, image-only
+            else:  # nuscenes: int8 image trunk (+ bf16 PointNet if lidar)
                 img_feat = jnp.mean(feats, axis=(1, 2))  # include_pool
                 img_feat = _dense(ep["image_projection"], img_feat)
+                if ecfg.use_lidar and "lidar" in batch:
+                    from automoe_tpu.models.experts import PointNet
+
+                    pnet = PointNet(
+                        output_dim=256, use_tnet=ecfg.use_tnet, dtype=dtype
+                    )
+                    pvars = {"params": ep["lidar_backbone"]}
+                    pstats = (
+                        variables.get("batch_stats", {})
+                        .get(f"expert_{i}", {})
+                        .get("lidar_backbone")
+                    )
+                    if pstats:
+                        pvars["batch_stats"] = pstats
+                    lidar_feat = pnet.apply(
+                        pvars, batch["lidar"].astype(dtype),
+                        train=False, deterministic=True,
+                    )
+                    fused = (
+                        jnp.concatenate([img_feat, lidar_feat], axis=-1)
+                        if ecfg.fusion == "concat"
+                        else img_feat + lidar_feat
+                    )
+                else:
+                    fused = img_feat
                 q = jnp.asarray(ep["query_embed"], dtype)
-                x = img_feat[:, None, :] + q[None, :, :]
+                x = fused[:, None, :] + q[None, :, :]
                 x = jax.nn.relu(_dense(ep["decoder_fc1"], x))
                 x = jax.nn.relu(_dense(ep["decoder_fc2"], x))
                 expert_out = {

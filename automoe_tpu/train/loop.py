@@ -52,6 +52,7 @@ class TrainConfig:
     learning_rate: float = 2e-4
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
+    optimizer: str = "adamw"  # 'adamw' (every reference trainer) | 'sgd'
     seed: int = 0
     run_name: str = "run"
     ckpt_root: str = "checkpoints"
@@ -109,6 +110,7 @@ class Trainer:
             total_steps=total_steps,
             grad_clip=config.grad_clip,
             trainable_mask=mask,
+            optimizer=config.optimizer,
         )
         self.state = TrainState.create(
             params=variables["params"],

@@ -56,6 +56,7 @@ def make_optimizer(
     eta_min: float = 0.0,
     trainable_mask: Optional[Mapping] = None,
     schedule: str = "cosine",
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
     if schedule == "cosine":
         lr = optax.cosine_decay_schedule(
@@ -68,10 +69,16 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown schedule {schedule}")
 
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(lr, weight_decay=weight_decay),
-    )
+    if optimizer == "adamw":
+        inner = optax.adamw(lr, weight_decay=weight_decay)
+    elif optimizer == "sgd":
+        # plain SGD (torch.optim.SGD defaults: no momentum, no wd) — used
+        # by the N-step trajectory-parity tests, where Adam's sqrt(v)
+        # normalization would amplify fp noise into O(lr) divergence
+        inner = optax.sgd(lr)
+    else:
+        raise ValueError(f"unknown optimizer {optimizer}")
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), inner)
     if trainable_mask is not None:
         # Frozen subtrees get zero updates (optax.masked would pass raw
         # gradients through untransformed — wrong for freezing).

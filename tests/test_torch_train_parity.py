@@ -1,0 +1,270 @@
+"""N-step training-TRAJECTORY parity vs the ACTUAL reference trainer.
+
+Single-step loss/forward parity (test_losses.py, test_torch_parity.py)
+does not pin how schedule shape, gradient clipping, BN-update cadence,
+and matcher interaction COMPOSE across optimizer steps. Here the real
+reference `BDDTrainer.train_epoch` (/root/reference/training/
+train_bdd100k_ddp.py:75-185, imported and executed on CPU via the
+torchvision stub) and our generic `Trainer` run for ~12 optimizer steps
+on identical synthetic fixtures from identical transferred weights, and
+the per-step loss trajectories plus the final parameters must match.
+
+SGD is the primary equivalence optimizer (AdamW's sqrt(v) normalization
+amplifies fp reduction noise on near-zero-gradient leaves into O(lr)
+divergence — r2 ledger, docs/DESIGN.md §3); one AdamW case runs with
+correspondingly looser bounds.
+
+Known legitimate divergences (ledgered in docs/DESIGN.md §3):
+  * seg/drivable upsample borders differ between our resize matmul and
+    torch F.interpolate → the drivable case carries a looser tolerance;
+  * Hungarian ties: measure-zero for random float costs, so the exact
+    on-device matcher and scipy agree on these fixtures.
+"""
+from __future__ import annotations
+
+import importlib
+import json
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_mirror import add_reference_to_path, install_torchvision_stub
+
+install_torchvision_stub()
+add_reference_to_path()
+# the reference trainer does `from hungarian_matcher import ...` (a
+# sibling-file import that torchrun's script-style launch resolves)
+if "/root/reference/training" not in sys.path:
+    sys.path.insert(0, "/root/reference/training")
+
+import automoe_tpu.ckpt.torch_import as ck  # noqa: E402
+from automoe_tpu.ckpt.torch_import import to_numpy_state_dict  # noqa: E402
+from automoe_tpu.train.loop import TrainConfig, Trainer  # noqa: E402
+from automoe_tpu.train.workloads import bdd_expert_workload  # noqa: E402
+
+B, HW, NBOX = 4, 64, 3
+N_BATCHES, N_EPOCHS = 3, 4  # 12 optimizer steps
+LR = 1e-3
+
+
+class _Recorder:
+    """SummaryWriter stand-in: records scalars instead of event files."""
+
+    def __init__(self, *a, **k):
+        self.scalars = {}
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.setdefault(tag, []).append(float(value))
+
+    def close(self):
+        pass
+
+
+def _detection_fixtures(seed=0):
+    """Identical batch sequence in torch (NCHW) and jax (NHWC) layouts.
+    Includes padded target slots (label -1) to exercise the mask path."""
+    rng = np.random.default_rng(seed)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        xy1 = rng.uniform(0.05, 0.45, (B, NBOX, 2))
+        xy2 = rng.uniform(0.55, 0.95, (B, NBOX, 2))
+        boxes = np.concatenate([xy1, xy2], -1).astype(np.float32)
+        labels = rng.integers(0, 10, (B, NBOX)).astype(np.int64)
+        labels[0, -1] = -1  # one padded slot per batch
+        boxes[0, -1] = 0.0
+        tb.append({
+            "image": torch.from_numpy(img),
+            "bboxes": torch.from_numpy(boxes),
+            "labels": torch.from_numpy(labels),
+        })
+        jb.append({
+            "image": np.transpose(img, (0, 2, 3, 1)).copy(),
+            "bboxes": boxes.copy(),
+            "labels": labels.astype(np.int32),
+        })
+    return tb, jb
+
+
+def _seg_fixtures(seed=0, num_classes=3):
+    rng = np.random.default_rng(seed)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        mask = rng.integers(0, num_classes, (B, HW, HW)).astype(np.int64)
+        mask[:, :2, :2] = 255  # ignore-index pixels
+        tb.append({
+            "image": torch.from_numpy(img),
+            "mask": torch.from_numpy(mask),
+        })
+        jb.append({
+            "image": np.transpose(img, (0, 2, 3, 1)).copy(),
+            "mask": mask.astype(np.int32),
+        })
+    return tb, jb
+
+
+def _ref_trainer(task, tmodel, batches, monkeypatch, *, optimizer,
+                 weight_decay=0.0):
+    ref_mod = importlib.import_module("training.train_bdd100k_ddp")
+    monkeypatch.setattr(ref_mod, "SummaryWriter", _Recorder)
+    config = {
+        "learning_rate": LR,
+        "weight_decay": weight_decay,
+        "epochs": N_EPOCHS,
+        "run_name": "parity",
+    }
+    trainer = ref_mod.BDDTrainer(
+        task, tmodel, batches, batches, torch.device("cpu"), config
+    )
+    if optimizer == "sgd":
+        trainer.optimizer = torch.optim.SGD(tmodel.parameters(), lr=LR)
+        trainer.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+            trainer.optimizer, T_max=N_EPOCHS * len(batches)
+        )
+    return trainer
+
+
+def _run_ours(wl, batches, tmp_path, variables, *, optimizer,
+              weight_decay=0.0, run_name="tp"):
+    from automoe_tpu.train.state import TrainState
+
+    cfg = TrainConfig(
+        epochs=N_EPOCHS, learning_rate=LR, weight_decay=weight_decay,
+        optimizer=optimizer, run_name=run_name,
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+        log_every=1, max_inflight=0,
+    )
+    tr = Trainer(wl, batches, batches, cfg)
+    tr.state = TrainState.create(
+        params=variables["params"], tx=tr.state.tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    for e in range(N_EPOCHS):
+        tr.train_epoch(e)
+    tr.logger.close()
+    jsonl = tmp_path / "runs" / f"{wl.name}_{run_name}" / "metrics.jsonl"
+    losses = [
+        rec["train/loss"]
+        for rec in map(json.loads, jsonl.read_text().splitlines())
+        if "train/loss" in rec
+    ]
+    return tr, losses
+
+
+def _assert_params_close(ours, torch_final_vars, rtol, atol):
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(ours)
+    flat_b = jax.tree_util.tree_leaves_with_path(torch_final_vars)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_detection_sgd_trajectory_parity(tmp_path, monkeypatch):
+    """12 SGD steps of the reference detection trainer (cosine schedule,
+    global-norm clip 1.0, Hungarian matching, masked CE+SmoothL1, BN in
+    train mode) vs our Trainer — loss trajectory and final params."""
+    torch.manual_seed(11)
+    tbatches, jbatches = _detection_fixtures(seed=7)
+    ref_mod = importlib.import_module("training.train_bdd100k_ddp")
+    tmodel = ref_mod.BDDDetectionExpert(
+        num_classes=10, pretrained_backbone=False
+    )
+    variables = ck.import_detection_expert(to_numpy_state_dict(tmodel))
+
+    trainer = _ref_trainer(
+        "detection", tmodel, tbatches, monkeypatch, optimizer="sgd"
+    )
+    for e in range(N_EPOCHS):
+        trainer.train_epoch(e)
+    ref_losses = trainer.writer.scalars["train/loss_batch"]
+
+    wl = bdd_expert_workload("detection", image_size=HW, box_cap=NBOX,
+                             matcher="hungarian")
+    tr, our_losses = _run_ours(
+        wl, jbatches, tmp_path, variables, optimizer="sgd", run_name="det"
+    )
+    assert len(our_losses) == len(ref_losses) == N_EPOCHS * N_BATCHES
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-3, atol=1e-4)
+
+    final_vars = ck.import_detection_expert(to_numpy_state_dict(tmodel))
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=1e-3, atol=2e-4,
+    )
+
+
+def test_drivable_sgd_trajectory_parity(tmp_path, monkeypatch):
+    """12 SGD steps of the seg-family trainer (CE ignore-255). Bilinear
+    upsample borders differ between our resize and torch F.interpolate
+    (ledgered), so bounds are looser than detection's."""
+    torch.manual_seed(12)
+    tbatches, jbatches = _seg_fixtures(seed=8)
+    ref_mod = importlib.import_module("training.train_bdd100k_ddp")
+    tmodel = ref_mod.BDDDrivableExpert(
+        num_classes=3, pretrained_backbone=False
+    )
+    variables = ck.import_drivable_expert(to_numpy_state_dict(tmodel))
+
+    trainer = _ref_trainer(
+        "drivable", tmodel, tbatches, monkeypatch, optimizer="sgd"
+    )
+    for e in range(N_EPOCHS):
+        trainer.train_epoch(e)
+    ref_losses = trainer.writer.scalars["train/loss_batch"]
+
+    wl = bdd_expert_workload("drivable", image_size=HW)
+    tr, our_losses = _run_ours(
+        wl, jbatches, tmp_path, variables, optimizer="sgd", run_name="drv"
+    )
+    assert len(our_losses) == len(ref_losses)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3, atol=5e-3)
+
+    final_vars = ck.import_drivable_expert(to_numpy_state_dict(tmodel))
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=2e-2, atol=2e-3,
+    )
+
+
+def test_drivable_adamw_trajectory_parity(tmp_path, monkeypatch):
+    """One AdamW case (the reference's actual optimizer regime,
+    train_bdd100k_ddp.py:39-47): loss trajectories over 12 steps, on the
+    seg-family workload. Bounds are looser than SGD's — Adam's sqrt(v)
+    normalization amplifies fp reduction noise (r2 ledger). The detection
+    workload is NOT used here: under Adam the amplified noise flips
+    near-tie Hungarian assignments after a few steps (measured: fork at
+    step 5 of 12), discretely changing the targets — both sides are
+    'correct', the trajectories just stop being comparable (ledgered in
+    docs/DESIGN.md §3)."""
+    torch.manual_seed(13)
+    tbatches, jbatches = _seg_fixtures(seed=9)
+    ref_mod = importlib.import_module("training.train_bdd100k_ddp")
+    tmodel = ref_mod.BDDDrivableExpert(
+        num_classes=3, pretrained_backbone=False
+    )
+    variables = ck.import_drivable_expert(to_numpy_state_dict(tmodel))
+
+    trainer = _ref_trainer(
+        "drivable", tmodel, tbatches, monkeypatch,
+        optimizer="adamw", weight_decay=1e-4,
+    )
+    for e in range(N_EPOCHS):
+        trainer.train_epoch(e)
+    ref_losses = trainer.writer.scalars["train/loss_batch"]
+
+    wl = bdd_expert_workload("drivable", image_size=HW)
+    tr, our_losses = _run_ours(
+        wl, jbatches, tmp_path, variables,
+        optimizer="adamw", weight_decay=1e-4, run_name="adamw",
+    )
+    assert len(our_losses) == len(ref_losses)
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2, atol=2e-2)
