@@ -166,8 +166,124 @@ def resnet_quant_forward(qpack: Dict, scales: Dict[str, float], x: jnp.ndarray,
     return _resnet_graph(conv, x)
 
 
+def fused_stems_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
+                   x: jnp.ndarray, dtype=jnp.bfloat16):
+    """Run all E experts' float stems as ONE dense conv and hand back each
+    expert's int8 trunk entry.
+
+    Every expert consumes the same 3-channel image; a per-expert stem is
+    a [7,7,3,64] conv whose 64 output channels half-fill the MXU's lane
+    dimension and whose C_in=3 maps poorly onto the 128-deep systolic
+    array — measured 1.09 ms of each 3.2 ms int8 trunk at B=128 (34%,
+    benchmarks/quant_stage_bench.py). Concatenating the E kernels along
+    the output-channel axis gives one [7,7,3,64E] conv (dense, NOT
+    grouped — exact by construction), one maxpool, and one per-channel
+    quantize, amortizing the image reads and filling the lanes.
+
+    Returns [(xq_int8 [B,h,w,64], si_scale), ...] per expert, matching
+    resnet_quant_forward_q8's `stem_in` contract.
+    """
+    ws, bs, sis = [], [], []
+    for q, s in zip(qpacks, scales):
+        p = q["conv1"]
+        if "wq" in p:
+            raise NotImplementedError("fused stem expects float stems")
+        ws.append(jnp.asarray(p["w"], dtype))
+        bs.append(jnp.asarray(p["b"], dtype))
+        sis.append(np.float32(float(max(s["layer1_0/conv1"], 1e-12)) / 127.0))
+    E, C = len(ws), ws[0].shape[-1]
+    h = _conv(x.astype(dtype), jnp.concatenate(ws, axis=-1), 2, 3) + \
+        jnp.concatenate(bs)
+    h = jax.lax.reduce_window(
+        jax.nn.relu(h), -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    # one quantize pass with a per-channel scale vector (constant within
+    # each expert's 64-channel block), then cheap int8 slices
+    inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
+    hq = jnp.clip(
+        jnp.round(h.astype(jnp.float32) * inv), -127, 127
+    ).astype(jnp.int8)
+    return [(hq[..., i * C:(i + 1) * C], sis[i]) for i in range(E)]
+
+
+def _s2d_stem_kernel(w: np.ndarray) -> np.ndarray:
+    """Rewrite a [7,7,C,O] stride-2 pad-3 stem kernel into the exactly
+    equivalent [4,4,4C,O] stride-1 VALID kernel over a 2x2 space-to-depth
+    input padded (4,4): zero-pad 7->8 (shift by one so pad-3 becomes
+    pad-4), then block-reshape so channel = di*2C + dj*C + c matches the
+    s2d layout produced by stems_s2d_q8."""
+    w = jnp.asarray(w)  # may be a traced jit argument (engine path)
+    C, O = w.shape[2], w.shape[3]
+    w8 = jnp.zeros((8, 8, C, O), w.dtype).at[1:8, 1:8].set(w)
+    k = w8.reshape(4, 2, 4, 2, C, O).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(4, 4, 4 * C, O)
+
+
+def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
+                 x: jnp.ndarray, dtype=jnp.bfloat16):
+    """All E float stems as ONE space-to-depth conv with int8 output
+    BEFORE the maxpool.
+
+    Two measured facts drive this (benchmarks/quant_stage_bench.py,
+    B=128/256²): (1) the per-expert stem is ~1.0 ms of each 3.2 ms int8
+    trunk and is BANDWIDTH-bound — the [B,128,128,64] bf16 conv output is
+    materialized (268 MB), re-read by the maxpool, and only then shrunk;
+    (2) plain output-channel fusion of the four stems (fused_stems_q8)
+    does NOT help (4.36 ms vs 3.86 ms separate) because it moves the same
+    bytes. This variant attacks both walls:
+
+      * 2x2 space-to-depth turns the 7x7/s2 C_in=3 conv (reduction depth
+        49*3=147, poorly tiled) into a 4x4/s1 C_in=12 conv with reduction
+        depth 192 and — fused across E=4 experts — 256 output lanes, a
+        clean MXU mapping. Exact by kernel rewrite (_s2d_stem_kernel).
+      * the conv epilogue quantizes to int8 BEFORE the maxpool: round/
+        clip/cast are monotone non-decreasing, so max(quant(x)) ==
+        quant(max(x)) elementwise-exactly, and the pooled tensor the q8
+        trunk wants is bit-identical while the conv->pool round trip
+        crosses HBM at 1 byte/elem instead of 2.
+
+    Returns [(xq int8 [B,H/4,W/4,64], si), ...] per expert — the same
+    `stem_in` contract as fused_stems_q8.
+    """
+    ws, bs, sis = [], [], []
+    for q, s in zip(qpacks, scales):
+        p = q["conv1"]
+        if "wq" in p:
+            raise NotImplementedError("s2d stem expects float stems")
+        ws.append(_s2d_stem_kernel(jnp.asarray(p["w"], dtype)))
+        bs.append(jnp.asarray(p["b"], dtype))
+        sis.append(np.float32(float(max(s["layer1_0/conv1"], 1e-12)) / 127.0))
+    E, C = len(ws), ws[0].shape[-1]
+    B, H, W, Cin = x.shape
+    # pad (4,4) then 2x2 space-to-depth -> [B, (H+8)/2, (W+8)/2, 4*Cin]
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (4, 4), (4, 4), (0, 0)))
+    xs = xp.reshape(B, (H + 8) // 2, 2, (W + 8) // 2, 2, Cin)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, (H + 8) // 2, (W + 8) // 2, 4 * Cin
+    )
+    k = jnp.concatenate(ws, axis=-1)  # [4,4,12,64E]
+    dn = jax.lax.conv_dimension_numbers(xs.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(
+        xs, k, (1, 1), "VALID", dimension_numbers=dn
+    )[:, : H // 2, : W // 2]
+    h = jax.nn.relu(h + jnp.concatenate(bs))
+    # quantize in the conv epilogue (per-channel scale vector, constant
+    # within each expert's block), THEN maxpool in int8
+    inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
+    hq = jnp.clip(
+        jnp.round(h.astype(jnp.float32) * inv), -127, 127
+    ).astype(jnp.int8)
+    hq = jax.lax.reduce_window(
+        hq, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    return [(hq[..., i * C:(i + 1) * C], sis[i]) for i in range(E)]
+
+
 def resnet_quant_forward_q8(qpack: Dict, scales: Dict[str, float],
-                            x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+                            x: jnp.ndarray, dtype=jnp.bfloat16,
+                            stem_in=None) -> jnp.ndarray:
     """int8-RESIDENT trunk: requantization is folded into each conv's
     dequant epilogue, so activations cross HBM as int8 only.
 
@@ -183,11 +299,6 @@ def resnet_quant_forward_q8(qpack: Dict, scales: Dict[str, float],
     quantization (slightly worse); fidelity bounds in tests/test_quant.py
     cover both paths.
     """
-    p = qpack["conv1"]
-    if "wq" in p:
-        raise NotImplementedError("q8 trunk keeps the stem float "
-                                  "(measured faster + tighter, see ledger)")
-
     def sx(name: str) -> np.float32:
         return np.float32(float(max(scales[name], 1e-12)) / 127.0)
 
@@ -203,16 +314,23 @@ def resnet_quant_forward_q8(qpack: Dict, scales: Dict[str, float],
             + jnp.asarray(p["b"], jnp.float32)
         )
 
-    # float stem (bf16) + maxpool, then enter the int8 domain once
-    h = _conv(x.astype(dtype), jnp.asarray(p["w"], dtype), 2, 3) + jnp.asarray(
-        p["b"], dtype
-    )
-    h = jax.lax.reduce_window(
-        jax.nn.relu(h), -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
-    si = sx("layer1_0/conv1")
-    xq = quant(h.astype(jnp.float32), si)
+    if stem_in is not None:
+        # stem already computed (fused across experts — fused_stems_q8)
+        xq, si = stem_in
+    else:
+        p = qpack["conv1"]
+        if "wq" in p:
+            raise NotImplementedError("q8 trunk keeps the stem float "
+                                      "(measured faster + tighter, see ledger)")
+        # float stem (bf16) + maxpool, then enter the int8 domain once
+        h = _conv(x.astype(dtype), jnp.asarray(p["w"], dtype), 2, 3) + \
+            jnp.asarray(p["b"], dtype)
+        h = jax.lax.reduce_window(
+            jax.nn.relu(h), -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        si = sx("layer1_0/conv1")
+        xq = quant(h.astype(jnp.float32), si)
 
     for stage, filters, stride in _STAGES:
         for blk in (0, 1):
@@ -316,7 +434,8 @@ def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
 
 
 def make_quant_forward(config, scales: List[Dict[str, float]],
-                       dtype=jnp.bfloat16, trunk: str = "q8"):
+                       dtype=jnp.bfloat16, trunk: str = "q8",
+                       stem: str = "s2d"):
     """fn(variables, qexperts, batch) -> AutoMoE serving outputs with int8
     expert trunks (heads/gating/policy bf16, fast gating pool — the same
     regime as bench.py's serving model). A lidar-enabled nuScenes expert
@@ -328,7 +447,10 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
     `qexperts` (qpack["experts"]) is a pytree that can cross the jit
     boundary as arguments. `trunk` picks the int8 trunk implementation:
     'q8' (int8-resident, default) or 'v1' (bf16 round-trip between
-    convs)."""
+    convs). `stem` picks the q8 stem strategy: 's2d' (all experts as one
+    space-to-depth conv, int8 before the pool — the measured winner),
+    'fused' (one dense 7x7 conv, ledgered negative result), or 'solo'
+    (per-expert float stems)."""
     from automoe_tpu.configs import load_model_config
     from automoe_tpu.models.automoe import _last_step
     from automoe_tpu.models.context import make_context_extractor
@@ -381,11 +503,25 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
         pool_uv = mean_of_resize_weights(
             low_h, low_w, image.shape[1], image.shape[2], False
         )
+        # q8: all experts' float stems run as one conv (exact; see
+        # stems_s2d_q8), then each trunk continues from its int8 slice
+        stem_fn = {"s2d": stems_s2d_q8, "fused": fused_stems_q8,
+                   "solo": None}[stem]
+        stems = (
+            stem_fn(qexperts, scales, image, dtype=dtype)
+            if trunk == "q8" and stem_fn is not None else None
+        )
         expert_features = []
         for i, ecfg in enumerate(cfg.experts):
-            feats = trunk_fwd(
-                qexperts[i], scales[i], image, dtype=dtype
-            )  # [B, h, w, 512]
+            if stems is not None:
+                feats = resnet_quant_forward_q8(
+                    qexperts[i], scales[i], image, dtype=dtype,
+                    stem_in=stems[i],
+                )
+            else:
+                feats = trunk_fwd(
+                    qexperts[i], scales[i], image, dtype=dtype
+                )  # [B, h, w, 512]
             ep = params[f"expert_{i}"]
             if ecfg.type == "detection":
                 h = jax.nn.relu(

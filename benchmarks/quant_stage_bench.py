@@ -118,11 +118,36 @@ def main():
 
     results["stem_float_quant"] = timed_chain(stem, img, qexperts[0])
 
+    # all four stems as ONE dense conv + one per-channel quantize (r3)
+    from automoe_tpu.serving.quant import fused_stems_q8
+
+    def stems_fused(c, qx):
+        outs = fused_stems_q8(qx, scales, c, dtype=dtype)
+        acc = sum(jnp.sum(o[0].astype(jnp.float32)) for o in outs)
+        return c + acc.astype(dtype) * jnp.asarray(1e-12, dtype)
+
+    results["stems_fused_all4"] = timed_chain(stems_fused, img, qexperts)
+
+    # s2d stems: one 4x4 s1 conv over the 2x2 space-to-depth image with
+    # int8 output BEFORE the maxpool (r3; see stems_s2d_q8)
+    from automoe_tpu.serving.quant import stems_s2d_q8
+
+    def stems_s2d(c, qx):
+        outs = stems_s2d_q8(qx, scales, c, dtype=dtype)
+        acc = sum(jnp.sum(o[0].astype(jnp.float32)) for o in outs)
+        return c + acc.astype(dtype) * jnp.asarray(1e-12, dtype)
+
+    results["stems_s2d_all4"] = timed_chain(stems_s2d, img, qexperts)
+
     # end-to-end quant step per variant (preprocess + 4 trunks + heads);
     # the speed CARRY serializes through preprocess, like quant_bench.py
     speed0 = jnp.ones((B, 1), jnp.float32)
-    for tag in ("v1", "q8"):
-        fwd = make_quant_forward(cfg, scales, dtype=dtype, trunk=tag)
+    variants = {"v1": ("v1", "solo"), "q8": ("q8", "solo"),
+                "q8s2d": ("q8", "s2d")}
+    for tag, (trunk, stem_kind) in variants.items():
+        fwd = make_quant_forward(
+            cfg, scales, dtype=dtype, trunk=trunk, stem=stem_kind
+        )
 
         def e2e(c, qx, fr, v):
             x = fr.astype(dtype) / 255.0 + c[0, 0] * jnp.asarray(1e-7, dtype)
@@ -139,7 +164,7 @@ def main():
     out = {"metric": "int8_stage_budget", "batch": B, "stages_ms": {
         k: round(v, 3) for k, v in results.items()
     }}
-    for tag in ("v1", "q8"):
+    for tag in variants:
         ms = results[f"e2e_{tag}"]
         fps = B / ms * 1e3
         out[f"fps_{tag}"] = round(fps, 1)

@@ -94,6 +94,123 @@ def test_q8_trunk_matches_v1_and_float(backbone_and_vars):
     assert rel < 0.05, f"v1-vs-q8 drift {rel}"
 
 
+def test_fused_stems_match_standalone_q8(backbone_and_vars, rng):
+    """fused_stems_q8 (all experts' stems as one dense conv) feeds the q8
+    trunk to the same result as the standalone q8 trunk — concatenating
+    kernels along the output axis is exact."""
+    from automoe_tpu.serving.quant import fused_stems_q8
+
+    model, variables, x = backbone_and_vars
+    # two "experts" with different weights: reuse the backbone twice, the
+    # second with perturbed params
+    folded_a = fold_resnet(variables["params"], variables["batch_stats"])
+    vb = jax.tree.map(lambda v: v * 1.01, variables)
+    folded_b = fold_resnet(vb["params"], vb["batch_stats"])
+    packs, scls = [], []
+    for f in (folded_a, folded_b):
+        c = {}
+        resnet_float_forward(f, x, dtype=jnp.float32, collect=c)
+        scls.append({k: float(v) for k, v in c.items()})
+        packs.append(quantize_folded(f))
+
+    stems = fused_stems_q8(packs, scls, x, dtype=jnp.float32)
+    for i in range(2):
+        fused_out = resnet_quant_forward_q8(
+            packs[i], scls[i], x, dtype=jnp.float32, stem_in=stems[i]
+        )
+        solo_out = resnet_quant_forward_q8(
+            packs[i], scls[i], x, dtype=jnp.float32
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused_out), np.asarray(solo_out), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_s2d_stem_kernel_rewrite_exact(rng):
+    """The space-to-depth kernel rewrite is EXACT: a [7,7,3,O] stride-2
+    pad-3 conv equals the [4,4,12,O] stride-1 VALID conv on the 2x2-s2d
+    pad-(4,4) input, checked in float64 to 1e-10."""
+    from automoe_tpu.serving.quant import _s2d_stem_kernel
+
+    B, H, W, O = 2, 32, 32, 8
+    x = rng.normal(size=(B, H, W, 3))
+    # f32-representable values: _s2d_stem_kernel runs in jnp (f32) but is
+    # pure data movement, so the f64 comparison below is still exact
+    w = rng.normal(size=(7, 7, 3, O)).astype(np.float32).astype(np.float64)
+
+    def np_conv(x, w, stride, pad):  # NHWC/HWIO valid-after-pad, f64
+        xp = np.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        kh, kw = w.shape[:2]
+        oh = (xp.shape[1] - kh) // stride + 1
+        ow = (xp.shape[2] - kw) // stride + 1
+        out = np.zeros((x.shape[0], oh, ow, w.shape[3]))
+        for a in range(kh):
+            for b in range(kw):
+                patch = xp[:, a: a + stride * oh: stride,
+                           b: b + stride * ow: stride]
+                out += np.einsum("bijc,co->bijo", patch, w[a, b])
+        return out
+
+    ref = np_conv(x, w, 2, 3)
+
+    xp = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    xs = xp.reshape(B, (H + 8) // 2, 2, (W + 8) // 2, 2, 3)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, (H + 8) // 2, (W + 8) // 2, 12
+    )
+    out = np_conv(xs, np.asarray(_s2d_stem_kernel(w), np.float64), 1, 0)[
+        :, : H // 2, : W // 2
+    ]
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_s2d_stems_match_standalone_q8(backbone_and_vars, rng):
+    """stems_s2d_q8 (s2d conv + int8-before-pool) feeds the q8 trunk to
+    the standalone result. The rewrite is algebraically exact and
+    quantize commutes with max, so the int8 stem tensors may differ only
+    by reduction-order round ties (±1 quantum, rare)."""
+    from automoe_tpu.serving.quant import stems_s2d_q8
+
+    model, variables, x = backbone_and_vars
+    folded_a = fold_resnet(variables["params"], variables["batch_stats"])
+    vb = jax.tree.map(lambda v: v * 1.01, variables)
+    folded_b = fold_resnet(vb["params"], vb["batch_stats"])
+    packs, scls = [], []
+    for f in (folded_a, folded_b):
+        c = {}
+        resnet_float_forward(f, x, dtype=jnp.float32, collect=c)
+        scls.append({k: float(v) for k, v in c.items()})
+        packs.append(quantize_folded(f))
+
+    stems = stems_s2d_q8(packs, scls, x, dtype=jnp.float32)
+    for i in range(2):
+        # int8 stem tensor vs what the standalone path quantizes to
+        p = packs[i]["conv1"]
+        from automoe_tpu.serving.quant import _conv
+
+        h = _conv(x, jnp.asarray(p["w"], jnp.float32), 2, 3) + p["b"]
+        h = jax.lax.reduce_window(
+            jax.nn.relu(h), -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        si = float(max(scls[i]["layer1_0/conv1"], 1e-12)) / 127.0
+        ref_q = np.clip(np.round(np.asarray(h) / si), -127, 127).astype(np.int8)
+        got_q = np.asarray(stems[i][0])
+        diff = np.abs(got_q.astype(np.int32) - ref_q.astype(np.int32))
+        assert diff.max() <= 1, f"stem {i}: diff beyond one quantum"
+        assert (diff > 0).mean() < 0.01, f"stem {i}: too many round ties"
+
+        # and the full trunk stays tight
+        s2d_out = np.asarray(resnet_quant_forward_q8(
+            packs[i], scls[i], x, dtype=jnp.float32, stem_in=stems[i]
+        ))
+        solo_out = np.asarray(resnet_quant_forward_q8(
+            packs[i], scls[i], x, dtype=jnp.float32
+        ))
+        rel = np.abs(s2d_out - solo_out).mean() / (np.abs(solo_out).mean() + 1e-12)
+        assert rel < 0.01, f"stem {i}: trunk drift {rel}"
+
+
 def test_quant_forward_with_lidar(rng):
     """VERDICT r2 #7: a lidar-enabled nuScenes expert serves on the int8
     path (image trunk int8, PointNet branch bf16) and tracks the standard
