@@ -61,7 +61,27 @@ def cmd_bdd(args):
                     num_workers=args.num_workers, shuffle=False, **kw)
     wl = bdd_expert_workload(args.task, image_size=args.image_size)
     variables = _load_state(wl, args.checkpoint)
-    apply_fn = jax.jit(lambda v, img: wl.model.apply(v, img))
+    if getattr(args, "quantize", False):
+        # int8 task-metric fidelity: the same eval through the int8
+        # serving trunk, calibrated on the first val batch (VERDICT r2 #5)
+        from automoe_tpu.serving.quant import (
+            make_expert_quant_apply,
+            quantize_expert,
+        )
+
+        calib = next(iter(loader))
+        qpack, qscales = quantize_expert(
+            variables, [calib["image"]], dtype=jnp.float32
+        )
+        apply_fn = jax.jit(make_expert_quant_apply(
+            args.task, wl.model.num_classes, qscales, dtype=jnp.float32
+        ))
+        variables = {
+            "q": jax.tree.map(jnp.asarray, qpack),
+            "params": variables["params"],
+        }
+    else:
+        apply_fn = jax.jit(lambda v, img: wl.model.apply(v, img))
 
     if args.task == "detection":
         res = evaluate_detection(
@@ -73,6 +93,7 @@ def cmd_bdd(args):
         res = evaluate_seg_like(
             apply_fn, variables, loader, num_classes=wl.model.num_classes
         )
+    res["quantized"] = bool(getattr(args, "quantize", False))
     path = _timestamped(args.out_dir, f"{args.source}_{args.task}")
     path.write_text(json.dumps(res, indent=2))
     print(json.dumps(res))
@@ -281,6 +302,9 @@ def main(argv=None):
     pb.add_argument("--task", choices=["detection", "segmentation", "drivable"],
                     required=True)
     pb.add_argument("--source", choices=["bdd", "carla"], default="bdd")
+    pb.add_argument("--quantize", action="store_true",
+                    help="evaluate through the int8 serving trunk "
+                         "(PTQ fidelity vs the bf16 numbers)")
     common(pb)
     pb.set_defaults(fn=cmd_bdd)
 

@@ -433,6 +433,71 @@ def quantize_automoe(variables, config, calib_batches: Sequence[Dict],
     return {"experts": experts, "scales": scales}
 
 
+def quantize_expert(variables, calib_images: Sequence,
+                    dtype=jnp.bfloat16,
+                    float_convs: frozenset = DEFAULT_FLOAT_CONVS,
+                    backbone: str = "backbone"):
+    """(qpack, scales) for ONE standalone expert (BDD det/seg/drivable) —
+    the per-expert counterpart of quantize_automoe, so the expert evals
+    (evals/cli.py bdd --quantize) can measure int8 task-metric fidelity
+    against the bf16 path (VERDICT r2 #5)."""
+    folded = fold_resnet(
+        variables["params"][backbone], variables["batch_stats"][backbone]
+    )
+
+    @jax.jit
+    def amaxes(image):
+        c: Dict[str, jnp.ndarray] = {}
+        resnet_float_forward(folded, image, dtype=dtype, collect=c)
+        return c
+
+    scales: Dict[str, float] = {}
+    for img in calib_images:
+        c = amaxes(jnp.asarray(img, dtype))
+        for k, v in c.items():
+            scales[k] = max(scales.get(k, 0.0), float(v))
+    return quantize_folded(folded, float_convs), scales
+
+
+def make_expert_quant_apply(task: str, num_classes: int,
+                            scales: Dict[str, float],
+                            dtype=jnp.bfloat16, trunk: str = "q8"):
+    """apply_fn(tree, image) with the SAME output contract as the bf16
+    expert module (models/experts.py BDD heads), over an int8 trunk:
+    detection -> {class_logits, bbox_deltas} on the dense grid; seg and
+    drivable -> upsampled [B,H,W,C] logits. `tree` = {"q": qpack from
+    quantize_expert, "params": the expert's flax params (head/decoder
+    weights are read from it, bf16)} — both cross the jit boundary as
+    arguments. Plugs straight into evaluate_detection/evaluate_seg_like.
+    """
+    trunk_fwd = {
+        "q8": resnet_quant_forward_q8, "v1": resnet_quant_forward
+    }[trunk]
+    head_name = "head" if task == "detection" else "decoder"
+
+    def apply_fn(tree, image):
+        feats = trunk_fwd(tree["q"], scales, image.astype(dtype), dtype=dtype)
+        hp = tree["params"][head_name]
+        h = jax.nn.relu(
+            _conv(feats, jnp.asarray(hp["conv1"]["kernel"], dtype), 1, 1)
+            + jnp.asarray(hp["conv1"]["bias"], dtype)
+        )
+        out = _conv(h, jnp.asarray(hp["conv2"]["kernel"], dtype), 1, 0) \
+            + jnp.asarray(hp["conv2"]["bias"], dtype)
+        if task == "detection":
+            return {
+                "class_logits": out[..., :num_classes],
+                "bbox_deltas": out[..., num_classes:],
+            }
+        from automoe_tpu.ops.resize import resize_bilinear
+
+        return resize_bilinear(
+            out, image.shape[1], image.shape[2], antialias=False
+        )
+
+    return apply_fn
+
+
 def make_quant_forward(config, scales: List[Dict[str, float]],
                        dtype=jnp.bfloat16, trunk: str = "q8",
                        stem: str = "s2d"):

@@ -331,6 +331,11 @@ def _expand_preset(argv):
     import json as _json
     from pathlib import Path as _Path
 
+    preset_dir = _Path(__file__).resolve().parents[1] / "configs" / "presets"
+    if len(argv) < 2 or argv[1] in ("--list", "-l"):
+        for f in sorted(preset_dir.glob("*.json")):
+            print(f.stem)
+        raise SystemExit(0)
     name = argv[1]
     path = _Path(name)
     if not path.exists():

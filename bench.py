@@ -188,10 +188,11 @@ def main():
             "mfu": round(mfu, 4),
             # opt-in int8 PTQ serving path (automoe_tpu/serving/quant.py).
             # RECORDED from `python benchmarks/quant_bench.py` on
-            # 2026-08-16 (14.13 ms / 9,060 fps at B=128, 1.37x this bf16
-            # headline) — NOT re-measured per bench run; rerun quant_bench
-            # after touching serving/quant.py.
-            "int8_serving_fps_recorded": 9059.5,
+            # 2026-08-17 (13.37 ms / 9,575 fps at B=128 via the r3
+            # int8-resident trunk + s2d fused stem defaults) — NOT
+            # re-measured per bench run; rerun quant_bench after touching
+            # serving/quant.py.
+            "int8_serving_fps_recorded": 9575.4,
             "latency_target_ms": 10.0,
             "device": str(jax.devices()[0]),
         },

@@ -32,13 +32,128 @@ import jax.numpy as jnp
 import numpy as np
 
 from automoe_tpu.utils import enable_compile_cache, jit_init
-from benchmarks.component_bench import timed_chain
+from benchmarks.component_bench import timed_chain as _timed_chain
+
+
+def timed_chain(body, c0, *aux, **kw):
+    """Progress-printing wrapper: a timeout'd run still leaves the
+    completed stage timings on stderr."""
+    r = _timed_chain(body, c0, *aux, **kw)
+    print(f"[qsb] stage done: {r:.3f} ms", file=sys.stderr, flush=True)
+    return r
+
+
+def micro(args):
+    """Decompose the s2d stem (r3): where do its ~3.2 ms go — conv
+    compute, the (possibly unfused) quantize pass, or the pool's HBM
+    round trip? Guides the Pallas fused-stem decision."""
+    from automoe_tpu.configs import default_model_config, load_model_config
+    from automoe_tpu.models import create_automoe_model
+    from automoe_tpu.serving import quantize_automoe
+    from automoe_tpu.serving.quant import _s2d_stem_kernel
+
+    B = args.batch
+    dtype = jnp.bfloat16
+    cfg = load_model_config(default_model_config())
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(B, 256, 256, 3)), dtype)
+    model = create_automoe_model(cfg, dtype=dtype, fast_gating_pool=True)
+    variables = jit_init(
+        model, jax.random.key(0),
+        {"image": img, "lidar": jnp.zeros((B, 1000, 3), dtype),
+         "speed": jnp.ones((B, 1), dtype), "steering": jnp.zeros((B, 1), dtype),
+         "throttle": jnp.zeros((B, 1), dtype), "brake": jnp.zeros((B, 1), dtype)},
+    )
+    qpack = quantize_automoe(variables, cfg, [{"image": img}], dtype=dtype)
+    ks = [np.asarray(_s2d_stem_kernel(np.asarray(q["conv1"]["w"], np.float32)))
+          for q in qpack["experts"]]
+    kcat = jnp.asarray(np.concatenate(ks, axis=-1), dtype)  # [4,4,12,256]
+    bcat = jnp.asarray(np.concatenate(
+        [np.asarray(q["conv1"]["b"], np.float32) for q in qpack["experts"]]
+    ), dtype)
+    inv = jnp.asarray(np.repeat(np.asarray(
+        [127.0 / max(float(s["layer1_0/conv1"]), 1e-12)
+         for s in qpack["scales"]], np.float32), 64))
+    results = {}
+
+    def s2d(x):
+        xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        xs = xp.reshape(B, 132, 2, 132, 2, 3)
+        return xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, 132, 132, 12)
+
+    def prep_body(c, x):
+        xs = s2d(x + c[0, 0, 0, 0] * jnp.asarray(1e-7, dtype))
+        return c + jnp.mean(xs).astype(dtype) * jnp.asarray(1e-7, dtype)
+
+    results["s2d_prep"] = timed_chain(prep_body, img, img)
+
+    xs0 = jax.jit(s2d)(img)
+
+    def conv(xs, k):
+        dn = jax.lax.conv_dimension_numbers(
+            xs.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            xs, k, (1, 1), "VALID", dimension_numbers=dn
+        )[:, :128, :128]
+
+    def conv_body(c, k):
+        h = conv(c, k)
+        return c + jnp.mean(h).astype(dtype) * jnp.asarray(1e-7, dtype)
+
+    results["s2d_conv_bf16"] = timed_chain(conv_body, xs0, kcat)
+
+    def conv_quant_body(c, k, b, iv):
+        h = jax.nn.relu(conv(c, k) + b)
+        hq = jnp.clip(jnp.round(h.astype(jnp.float32) * iv), -127, 127
+                      ).astype(jnp.int8)
+        return c + jnp.max(hq).astype(dtype) * jnp.asarray(1e-7, dtype)
+
+    results["s2d_conv_quant"] = timed_chain(
+        conv_quant_body, xs0, kcat, bcat, inv
+    )
+
+    h0 = jax.jit(lambda xs, k: conv(xs, k))(xs0, kcat)
+
+    def quant_body(c, b, iv):
+        hq = jnp.clip(
+            jnp.round(jax.nn.relu(c + b).astype(jnp.float32) * iv),
+            -127, 127,
+        ).astype(jnp.int8)
+        return c + jnp.max(hq).astype(dtype) * jnp.asarray(1e-7, dtype)
+
+    results["quant_pass_bf16_to_int8"] = timed_chain(quant_body, h0, bcat, inv)
+
+    hq0 = jax.jit(
+        lambda h, b, iv: jnp.clip(
+            jnp.round(jax.nn.relu(h + b).astype(jnp.float32) * iv),
+            -127, 127).astype(jnp.int8)
+    )(h0, bcat, inv)
+
+    def pool_body(c):
+        out = jax.lax.reduce_window(
+            c, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        # int8 carry: feed a slice of the pooled map back into the carry
+        return c.at[:, :64, :64].max(out)
+
+    results["pool_int8"] = timed_chain(pool_body, hq0)
+
+    print(json.dumps({
+        "metric": "s2d_stem_micro", "batch": B,
+        "stages_ms": {k: round(v, 3) for k, v in results.items()},
+    }))
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--micro", action="store_true",
+                   help="s2d stem sub-stage decomposition only")
     args = p.parse_args()
+    if args.micro:
+        enable_compile_cache()
+        return micro(args)
     enable_compile_cache()
 
     from automoe_tpu.configs import default_model_config, load_model_config

@@ -2,8 +2,13 @@
 
 The r2 ledger records a 16.2 ms B=32/256² detection train step against a
 ~1.2 ms single-expert forward conv cost — a ~4x fwd+bwd gap with no
-breakdown. This bench measures, with the serialized scan-chain method
-(bench.py header), on the real TPU:
+breakdown. This bench measures each stage with the SAME regime as the
+16.2 ms number being explained: donated jitted bodies chained by python
+dependent stepping (train_step_bench.py), differencing two chain lengths
+so dispatch/fetch overhead cancels. (A first version used lax.scan
+chains; scan double-buffers the big carry, inflating state-carrying
+stages ~2x, and reducing only the first state leaf let XLA DCE the whole
+optimizer — both artifacts are gone with the python chain.)
 
   stages_ms:
     fwd_conv        expert forward only (eval mode)
@@ -30,7 +35,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import argparse
-import functools
 import json
 import time
 
@@ -41,29 +45,29 @@ import numpy as np
 from automoe_tpu.utils import enable_compile_cache
 
 
-def timed_chain_tree(body, c0, *aux, k_lo=2, k_hi=10, reps=2):
-    """Like component_bench.timed_chain but the carry may be any pytree;
-    the fetched scalar reduces the first leaf."""
+def timed_pychain(body, make_c0, *aux, k_lo=4, k_hi=16, reps=3):
+    """Per-iteration device time of `body` (carry, *aux) -> carry.
 
-    @functools.partial(jax.jit, static_argnames="K")
-    def chained(c, K, *aux):
-        def step(c, _):
-            return body(c, *aux), ()
-
-        out, _ = jax.lax.scan(step, c, None, length=K)
-        leaf = jax.tree.leaves(out)[0]
-        return jnp.sum(leaf.astype(jnp.float32))
+    The carry pytree is DONATED, each python dispatch depends on the
+    previous one's full output state (nothing hoists, buffers update in
+    place — exactly the production Trainer regime), and the chain ends in
+    a real host fetch (block_until_ready acks early on this runtime).
+    make_c0 must build a fresh carry per run: donation consumes buffers.
+    """
+    step = jax.jit(body, donate_argnums=0)
 
     def run(K):
-        np.asarray(chained(c0, K, *aux))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(chained(c0, K, *aux))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
+        c = make_c0()
+        t0 = time.perf_counter()
+        for _ in range(K):
+            c = step(c, *aux)
+        np.asarray(jax.tree.leaves(c)[0])  # host fetch forces completion
+        return time.perf_counter() - t0
 
-    slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
+    run(2)  # compile
+    t_lo = min(run(k_lo) for _ in range(reps))
+    t_hi = min(run(k_hi) for _ in range(reps))
+    slope = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
     if slope <= 0:
         raise RuntimeError(f"non-positive chain slope {slope:.4f} ms")
     return slope
@@ -98,7 +102,8 @@ def main():
     )
     model = wl.model
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32))
+    img_np = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+    img = jnp.asarray(img_np)
     xy1 = rng.uniform(0.05, 0.45, (B, N, 2))
     xy2 = rng.uniform(0.55, 0.95, (B, N, 2))
     boxes = jnp.asarray(np.concatenate([xy1, xy2], -1).astype(np.float32))
@@ -106,8 +111,11 @@ def main():
     variables = wl.init_variables(jax.random.key(0))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    params_np = jax.device_get(params)  # fresh donated carries per run
+    stats_np = jax.device_get(stats)
     key = jax.random.key(1)
     results = {}
+    fresh_img = lambda: jnp.asarray(img_np)
 
     # All device values cross the jit boundary as ARGUMENTS — closed-over
     # device arrays are the dispatch-poison landmine (CLAUDE.md rule 1).
@@ -117,7 +125,7 @@ def main():
         out = model.apply({"params": p, "batch_stats": st}, c)
         return c + jnp.mean(out["class_logits"]).astype(c.dtype) * 1e-7
 
-    results["fwd_conv"] = timed_chain_tree(fwd_conv, img, params, stats)
+    results["fwd_conv"] = timed_pychain(fwd_conv, fresh_img, params, stats)
 
     # 2. loss_fn train=True (fwd + matcher + scatter + losses + BN stats)
     def fwd_loss(c, p, st, bx, lb, k):
@@ -126,13 +134,15 @@ def main():
         )
         return c + loss.astype(c.dtype) * 1e-7
 
-    results["fwd_loss"] = timed_chain_tree(
-        fwd_loss, img, params, stats, boxes, labels, key
+    results["fwd_loss"] = timed_pychain(
+        fwd_loss, fresh_img, params, stats, boxes, labels, key
     )
 
     # 3. matcher alone on representative predictions
     Q = (S // 32) ** 2
-    logits0 = jnp.asarray(rng.normal(size=(B, Q, C)).astype(np.float32))
+    logits_np = rng.normal(size=(B, Q, C)).astype(np.float32)
+    logits0 = jnp.asarray(logits_np)
+    fresh_logits = lambda: jnp.asarray(logits_np)
     pboxes = jnp.asarray(rng.uniform(0.0, 1.0, (B, Q, 4)).astype(np.float32))
     tgt_cxcywh = box_convert(boxes, "xyxy", "cxcywh")
     match_fn = _get_matcher(matcher)
@@ -141,8 +151,8 @@ def main():
         qidx, valid = match_fn(c, pb, tg, lb)
         return c + jnp.sum(qidx).astype(c.dtype) * 1e-12
 
-    results["matcher"] = timed_chain_tree(
-        match_body, logits0, pboxes, tgt_cxcywh, labels
+    results["matcher"] = timed_pychain(
+        match_body, fresh_logits, pboxes, tgt_cxcywh, labels
     )
 
     # 4. scatter + masked CE/L1 with the match given
@@ -159,8 +169,8 @@ def main():
         )
         return c + (cl + bl).astype(c.dtype) * 1e-7
 
-    results["scatter_loss"] = timed_chain_tree(
-        scatter_body, logits0, pboxes, qidx0, valid0, tgt_cxcywh, labels
+    results["scatter_loss"] = timed_pychain(
+        scatter_body, fresh_logits, pboxes, qidx0, valid0, tgt_cxcywh, labels
     )
 
     # 5. fwd + bwd (no optimizer)
@@ -174,15 +184,21 @@ def main():
         grads = jax.grad(f)(c)
         return jax.tree.map(lambda p, g: p - 1e-12 * g, c, grads)
 
-    results["grad"] = timed_chain_tree(
-        grad_body, params, stats, img, boxes, labels, key
+    fresh_params = lambda: jax.tree.map(jnp.asarray, params_np)
+    results["grad"] = timed_pychain(
+        grad_body, fresh_params, stats, img, boxes, labels, key
     )
 
     # 6. the real jitted optimizer step
     tx = make_optimizer(
         learning_rate=1e-4, weight_decay=1e-4, total_steps=1000
     )
-    state0 = TrainState.create(params=params, tx=tx, batch_stats=stats)
+
+    def fresh_state():
+        return TrainState.create(
+            params=jax.tree.map(jnp.asarray, params_np), tx=tx,
+            batch_stats=jax.tree.map(jnp.asarray, stats_np),
+        )
 
     def step_body(st, im, bx, lb, k):
         new_state, _ = _train_body(
@@ -190,8 +206,8 @@ def main():
         )
         return new_state
 
-    results["full_step"] = timed_chain_tree(
-        step_body, state0, img, boxes, labels, key
+    results["full_step"] = timed_pychain(
+        step_body, fresh_state, img, boxes, labels, key
     )
 
     derived = {

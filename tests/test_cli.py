@@ -117,3 +117,13 @@ def test_preset_expansion(carla_root, tmp_path):
     ])
     assert np.isfinite(out["best_val_loss"])
     assert (tmp_path / "ckpt" / "bdd_drivable" / "preset_test" / "best").exists()
+
+
+def test_preset_list(capsys):
+    """`preset --list` prints the shipped preset names (r3 fix: it used
+    to be parsed as a preset NAME and crash on '--list.json')."""
+    with pytest.raises(SystemExit) as ei:
+        train_main(["preset", "--list"])
+    assert ei.value.code == 0
+    out = capsys.readouterr().out.split()
+    assert "quick_test" in out and "nuscenes_v5e" in out

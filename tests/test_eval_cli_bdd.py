@@ -57,3 +57,20 @@ def test_eval_cli_detection_and_visualizer(carla_root, tmp_path):
     assert len(table) == 4
     imgs = list((tmp_path / "vis_out" / "vis").glob("det_*.jpg"))
     assert len(imgs) == 4
+
+
+def test_eval_cli_bdd_quantize(carla_root, tmp_path):
+    """`bdd --quantize` (VERDICT r2 #5) runs the same eval through the
+    int8 serving trunk and tracks the bf16 numbers."""
+    common = [
+        "bdd", "--task", "drivable", "--source", "carla",
+        "--data-root", str(carla_root),
+        "--batch-size", "3", "--num-workers", "1", "--image-size", "32",
+        "--out-dir", str(tmp_path / "out"),
+    ]
+    bf = eval_main(common)
+    q8 = eval_main(common + ["--quantize"])
+    assert q8["quantized"] and not bf["quantized"]
+    for key in ("pixel_acc", "mean_iou"):
+        assert np.isfinite(q8[key])
+        assert abs(q8[key] - bf[key]) < 0.05, (key, bf[key], q8[key])

@@ -257,7 +257,8 @@ def test_quant_forward_with_lidar(rng):
     wp_ref = np.asarray(ref["waypoints"]).reshape(-1)
     wp_q = np.asarray(out["waypoints"]).reshape(-1)
     rel = np.abs(wp_ref - wp_q).mean() / (np.abs(wp_ref).mean() + 1e-12)
-    assert rel < 0.1, f"waypoint relative error {rel}"
+    print("waypoint rel err:", rel)
+    assert rel < 0.03, f"waypoint relative error {rel}"
 
 
 def test_quant_trunk_gspmd_batch_sharded(backbone_and_vars):
@@ -361,7 +362,8 @@ def test_quant_automoe_outputs_track_bf16(rng):
     wp_ref = np.asarray(ref["waypoints"]).reshape(-1)
     wp_q = np.asarray(out["waypoints"]).reshape(-1)
     rel = np.abs(wp_ref - wp_q).mean() / (np.abs(wp_ref).mean() + 1e-12)
-    assert rel < 0.1, f"waypoint relative error {rel}"
+    print("waypoint rel err:", rel)
+    assert rel < 0.03, f"waypoint relative error {rel}"
 
 
 @pytest.mark.slow
@@ -392,3 +394,105 @@ def test_quantized_engine_full_context(rng):
     assert np.isfinite(out["waypoints"]).all()
     w = out["expert_weights"]
     np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_int8_task_metric_fidelity():
+    """VERDICT r2 #5: bf16-vs-int8 TASK-metric deltas, not just tensor
+    error. Trains a detection and a drivable expert briefly on fixtures
+    (so IoU/recall/mIoU are non-degenerate), then runs the reference
+    metric definitions (eval/evaluate_bdd100k_expert.py:130-180 ported
+    in evals/) through the bf16 apply and the int8 quant apply the eval
+    CLI's --quantize uses. Measured deltas are ledgered in
+    benchmarks/BENCHMARKS.md."""
+    from automoe_tpu.evals import evaluate_detection, evaluate_seg_like
+    from automoe_tpu.serving.quant import (
+        make_expert_quant_apply,
+        quantize_expert,
+    )
+    from automoe_tpu.train.state import TrainState, make_optimizer
+    from automoe_tpu.train.step import make_train_step
+    from automoe_tpu.train.workloads import bdd_expert_workload
+
+    rng = np.random.default_rng(7)
+
+    def fit(wl, batch, steps, lr):
+        variables = wl.init_variables(jax.random.key(0))
+        tx = make_optimizer(learning_rate=lr, weight_decay=1e-4,
+                            total_steps=steps)
+        state = TrainState.create(
+            params=variables["params"], tx=tx,
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        step = make_train_step(wl.loss_fn)
+        for _ in range(steps):
+            state, _ = step(state, batch, jax.random.key(2))
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    deltas = {}
+
+    # -- detection: avg matched IoU + recall@0.5 ------------------------
+    wl = bdd_expert_workload("detection", image_size=64, box_cap=4)
+    det_batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        "bboxes": jnp.asarray(np.tile(
+            np.array([[0.2, 0.2, 0.6, 0.6], [0.5, 0.5, 0.9, 0.9],
+                      [0, 0, 0, 0], [0, 0, 0, 0]], np.float32), (2, 1, 1))),
+        "labels": jnp.asarray(np.tile(np.array([1, 2, -1, -1], np.int32), (2, 1))),
+    }
+    variables = fit(wl, det_batch, steps=70, lr=4e-4)
+    eval_batches = [{k: np.asarray(v) for k, v in det_batch.items()}]
+    bf = evaluate_detection(
+        jax.jit(lambda v, img: wl.model.apply(v, img)), variables,
+        iter(eval_batches), num_classes=wl.model.num_classes,
+    )
+    qpack, qscales = quantize_expert(
+        variables, [det_batch["image"]], dtype=jnp.float32
+    )
+    q_apply = jax.jit(make_expert_quant_apply(
+        "detection", wl.model.num_classes, qscales, dtype=jnp.float32
+    ))
+    qv = {"q": jax.tree.map(jnp.asarray, qpack), "params": variables["params"]}
+    q8 = evaluate_detection(
+        q_apply, qv, iter(eval_batches), num_classes=wl.model.num_classes
+    )
+    deltas["detection"] = {
+        k: (bf[k], q8[k], abs(bf[k] - q8[k]))
+        for k in ("avg_iou", "recall_0.5")
+    }
+    assert abs(bf["avg_iou"] - q8["avg_iou"]) < 0.02, deltas
+    assert abs(bf["recall_0.5"] - q8["recall_0.5"]) < 0.05, deltas
+
+    # -- drivable: pixel-acc + mIoU -------------------------------------
+    wl = bdd_expert_workload("drivable", image_size=64)
+    # a learnable segmentation target: class = left/middle/right third
+    mask = np.zeros((2, 64, 64), np.int32)
+    mask[:, :, 21:43] = 1
+    mask[:, :, 43:] = 2
+    seg_batch = {
+        "image": jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32)),
+        "mask": jnp.asarray(mask),
+    }
+    variables = fit(wl, seg_batch, steps=20, lr=1e-3)
+    eval_batches = [{k: np.asarray(v) for k, v in seg_batch.items()}]
+    bf = evaluate_seg_like(
+        jax.jit(lambda v, img: wl.model.apply(v, img)), variables,
+        iter(eval_batches), num_classes=wl.model.num_classes,
+    )
+    qpack, qscales = quantize_expert(
+        variables, [seg_batch["image"]], dtype=jnp.float32
+    )
+    q_apply = jax.jit(make_expert_quant_apply(
+        "drivable", wl.model.num_classes, qscales, dtype=jnp.float32
+    ))
+    qv = {"q": jax.tree.map(jnp.asarray, qpack), "params": variables["params"]}
+    q8 = evaluate_seg_like(
+        q_apply, qv, iter(eval_batches), num_classes=wl.model.num_classes
+    )
+    deltas["drivable"] = {
+        k: (bf[k], q8[k], abs(bf[k] - q8[k]))
+        for k in ("pixel_acc", "mean_iou")
+    }
+    assert abs(bf["pixel_acc"] - q8["pixel_acc"]) < 0.02, deltas
+    assert abs(bf["mean_iou"] - q8["mean_iou"]) < 0.02, deltas
+    print("int8 task-metric fidelity:", deltas)
