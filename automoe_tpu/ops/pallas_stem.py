@@ -1,0 +1,175 @@
+"""Pallas fused s2d-stem kernel: conv + quantize + maxpool in one pass.
+
+The int8 serving path runs all four expert stems as ONE space-to-depth
+conv (serving/quant.py::stems_s2d_q8): a 4x4/s1 C_in=12 conv over the
+2x2-s2d image, quantized to int8 in the epilogue, then 3x3/s2 maxpool.
+Measured on the v5e (benchmarks/quant_stage_bench.py --micro, B=128):
+
+    s2d prep 0.16 ms | conv+quant 2.13 ms | int8 maxpool 2.78 ms
+
+XLA fuses the quantize into the conv epilogue but must MATERIALIZE the
+pre-pool [B,128,128,256] int8 tensor (537 MB) and re-read it for the
+overlapping pool — >1 GB of HBM traffic for an op whose true inputs and
+outputs are 53 MB + 134 MB. This kernel keeps each conv row-block in
+VMEM, quantizes it there, pools it there, and only ever writes the
+pooled [B,64,64,256] int8 output:
+
+  * grid over the batch; per image, 4 row-chunks of 32 conv rows;
+  * the s2d input rows stream HBM->VMEM by async DMA, double-buffered
+    across chunks (the [...,12] channel dim pads to 128 lanes in VMEM,
+    but DMA moves only the real bytes);
+  * the 4x4x12 conv is an im2col matmul: 16 shifted [R,128,12] slices
+    concatenated along lanes -> P [R*128, 192] @ W [192, 256] on the
+    MXU with f32 accumulation (same contraction as the XLA conv);
+  * bias + relu + per-channel round/clip/int8 on the VPU;
+  * the 3x3/s2 pool is 9 static shifted slices max'd in int8 (quantize
+    commutes with max, so pooled-int8 == int8-of-pooled exactly; row/col
+    -1 pads substitute 0, safe because relu'd quantized values are >= 0).
+
+The reference has no counterpart (fp32 CUDA serving,
+inference/run_automoe.py); this is the TPU-native serving fast path.
+
+STATUS: exact in interpret mode (tests/test_pallas_stem.py pins it
+against the XLA path bit-for-bit), but the Mosaic compiler shipped with
+this runtime cannot lower the im2col assembly — DMA destinations must
+have 128-multiple lane dims, which a [rows, cols, 12]-channel buffer
+cannot satisfy, and every dense-lane repacking either inflates HBM
+traffic ~10x or needs a strided sublane interleave Mosaic does not
+implement (nine-probe capability matrix in benchmarks/BENCHMARKS.md).
+stems_s2d_q8 therefore keeps the XLA path as its default and exposes
+this kernel as opt-in (`use_pallas=True`) for future toolchains.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 32  # conv rows per chunk; H/2 must be a multiple
+
+
+def _pool_chunk(ck: jnp.ndarray) -> jnp.ndarray:
+    """3x3/s2 maxpool of one conv chunk.
+
+    ck: [33, Wc, O] int8 — conv rows 2p0-1 .. 2p0+31 (row 0 is the
+    "row -1" of the window; the caller passes zeros for the global edge).
+    Returns [16, Wc//2, O].
+    """
+    r, wc, o = ck.shape
+    # columns: out q uses cols 2q-1, 2q, 2q+1
+    a = ck.reshape(r, wc // 2, 2, o)
+    a0, a1 = a[:, :, 0], a[:, :, 1]                      # cols 2q, 2q+1
+    a1m = jnp.concatenate(                                # col 2q-1
+        [jnp.zeros((r, 1, o), ck.dtype), a1[:, : wc // 2 - 1]], axis=1
+    )
+    colmax = jnp.maximum(jnp.maximum(a0, a1), a1m)        # [33, Wc/2, O]
+    # rows: out p' uses local rows 2p', 2p'+1, 2p'+2
+    b_ = colmax[0:32].reshape(16, 2, wc // 2, o)
+    b0, b1 = b_[:, 0], b_[:, 1]
+    b2 = colmax[1:33].reshape(16, 2, wc // 2, o)[:, 1]
+    return jnp.maximum(jnp.maximum(b0, b1), b2)           # [16, Wc/2, O]
+
+
+def _stem_kernel(xs_hbm, w_ref, bias_ref, inv_ref, out_ref, xs_buf, p_buf,
+                 sems, *, hc: int, wc: int, o: int):
+    bidx = pl.program_id(0)
+    n_chunks = hc // _CHUNK
+
+    def dma(t, slot):
+        # chunk t consumes conv rows 32t-1..32t+31 -> xs rows 32t-1..32t+34;
+        # t=0 starts at row 0 (the missing row -1 is the zero edge row)
+        start = max(0, _CHUNK * t - 1)
+        return pltpu.make_async_copy(
+            xs_hbm.at[bidx, pl.ds(start, _CHUNK + 4)],
+            xs_buf.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+    for t in range(n_chunks):  # static unroll: shapes differ at t=0
+        slot = t % 2
+        if t + 1 < n_chunks:
+            dma(t + 1, (t + 1) % 2).start()
+        dma(t, slot).wait()
+        r = _CHUNK if t == 0 else _CHUNK + 1
+        # im2col: tap (a,b) of the 4x4 kernel, channels c packed last ->
+        # lane index (a*4+b)*12+c matches w_ref's (a,b,c) row-major rows.
+        # Staged through a scratch ref: a direct 16-way lane-concatenate
+        # of slices with mixed sublane/lane offsets hits an unimplemented
+        # Mosaic relayout; per-tap stores keep every layout canonical.
+        for a in range(4):
+            for b in range(4):
+                k = a * 4 + b
+                p_buf[0:r, :, 12 * k: 12 * (k + 1)] = (
+                    xs_buf[slot, a: a + r, b: b + wc, :]
+                )
+        acc = jnp.dot(
+            p_buf[0:r].reshape(r * wc, 192),
+            w_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        h = jnp.maximum(acc + bias_ref[0], 0.0)
+        q = jnp.clip(jnp.round(h * inv_ref[0]), -127.0, 127.0)
+        ck = q.astype(jnp.int8).reshape(r, wc, o)
+        if t == 0:  # global row -1: zeros are neutral (values >= 0)
+            ck = jnp.concatenate(
+                [jnp.zeros((1, wc, o), jnp.int8), ck], axis=0
+            )
+        out_ref[0, pl.ds(16 * t, 16)] = _pool_chunk(ck)
+
+
+def s2d_stem_pool_int8(xs: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
+                       inv: jnp.ndarray, *, interpret: bool = False
+                       ) -> jnp.ndarray:
+    """Fused stem: [B,Hc+4,Wc+4,12] s2d input -> pooled int8
+    [B,Hc/2,Wc/2,O].
+
+    xs  — s2d image, bf16/f32 (stems_s2d_q8 layout: pad 4, 2x2 blocks)
+    w   — [4,4,12,O] s2d kernel (all experts concatenated along O)
+    bias— [O] f32 folded-BN bias
+    inv — [O] f32 per-channel quant multipliers (127/scale)
+    """
+    b_, hp, wp, cin = xs.shape
+    assert cin == 12, cin
+    hc, wc = hp - 4, wp - 4
+    o = w.shape[-1]
+    if hc % _CHUNK or wc % 2 or o % 128:
+        raise ValueError(f"unsupported stem shape {(hc, wc, o)}")
+    if wp % 8:  # Mosaic: sliced sublane dims must be 8-aligned
+        xs = jnp.pad(xs, ((0, 0), (0, 0), (0, -wp % 8), (0, 0)))
+        wp = xs.shape[2]
+    wmat = w.reshape(192, o).astype(xs.dtype)
+    kernel = functools.partial(_stem_kernel, hc=hc, wc=wc, o=o)
+    flops = 2 * b_ * hc * wc * 192 * o
+    return pl.pallas_call(
+        kernel,
+        grid=(b_,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # xs stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [1,O]
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # inv [1,O]
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hc // 2, wc // 2, o), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_, hc // 2, wc // 2, o), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, _CHUNK + 4, wp, cin), xs.dtype),
+            pltpu.VMEM((_CHUNK + 1, wc, 192), xs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=xs.size * xs.dtype.itemsize
+            + b_ * (hc // 2) * (wc // 2) * o,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xs, wmat, bias.reshape(1, o).astype(jnp.float32),
+      inv.reshape(1, o).astype(jnp.float32))

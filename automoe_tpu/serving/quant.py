@@ -221,7 +221,8 @@ def _s2d_stem_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
-                 x: jnp.ndarray, dtype=jnp.bfloat16):
+                 x: jnp.ndarray, dtype=jnp.bfloat16,
+                 use_pallas: Optional[bool] = None):
     """All E float stems as ONE space-to-depth conv with int8 output
     BEFORE the maxpool.
 
@@ -263,6 +264,23 @@ def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
         B, (H + 8) // 2, (W + 8) // 2, 4 * Cin
     )
     k = jnp.concatenate(ws, axis=-1)  # [4,4,12,64E]
+    inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
+    # ops/pallas_stem.py holds a conv+quant+pool-fused kernel (the XLA
+    # lowering materializes the pre-pool [B,H/2,W/2,64E] int8 tensor and
+    # its maxpool alone costs more than the conv — 2.78 vs 2.13 ms at
+    # B=128, quant_stage_bench --micro). It is exact in interpret mode
+    # but this runtime's Mosaic cannot yet lower its im2col assembly
+    # (12-channel DMA/relayout limitations — probe results ledgered in
+    # benchmarks/BENCHMARKS.md), so it stays opt-in until the toolchain
+    # catches up.
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from automoe_tpu.ops.pallas_stem import s2d_stem_pool_int8
+
+        bias = jnp.concatenate(bs).astype(jnp.float32)
+        hq = s2d_stem_pool_int8(xs, k, bias, jnp.asarray(inv))
+        return [(hq[..., i * C:(i + 1) * C], sis[i]) for i in range(E)]
     dn = jax.lax.conv_dimension_numbers(xs.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
     h = jax.lax.conv_general_dilated(
         xs, k, (1, 1), "VALID", dimension_numbers=dn
@@ -270,7 +288,6 @@ def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
     h = jax.nn.relu(h + jnp.concatenate(bs))
     # quantize in the conv epilogue (per-channel scale vector, constant
     # within each expert's block), THEN maxpool in int8
-    inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
     hq = jnp.clip(
         jnp.round(h.astype(jnp.float32) * inv), -127, 127
     ).astype(jnp.int8)

@@ -1,0 +1,91 @@
+"""Pallas fused s2d-stem kernel (interpret mode on CPU) vs the XLA path.
+
+The kernel (ops/pallas_stem.py) fuses conv + quantize + 3x3/s2 maxpool
+for the int8 serving stems so the pre-pool tensor never touches HBM;
+serving/quant.py::stems_s2d_q8 auto-selects it on TPU. These tests pin
+exactness against the straight-line XLA computation.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from automoe_tpu.ops.pallas_stem import s2d_stem_pool_int8
+
+
+def _s2d(x: np.ndarray) -> np.ndarray:
+    b, h, w, c = x.shape
+    xp = np.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    xs = xp.reshape(b, (h + 8) // 2, 2, (w + 8) // 2, 2, c)
+    return xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, (h + 8) // 2, (w + 8) // 2, 4 * c
+    )
+
+
+def _xla_ref(xs, w, bias, inv, hc, wc):
+    dn = jax.lax.conv_dimension_numbers(
+        xs.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    h = jax.lax.conv_general_dilated(
+        xs, w, (1, 1), "VALID", dimension_numbers=dn)[:, :hc, :wc]
+    h = jax.nn.relu(h + bias)
+    hq = jnp.clip(jnp.round(h.astype(jnp.float32) * inv), -127, 127
+                  ).astype(jnp.int8)
+    return jax.lax.reduce_window(
+        hq, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def test_pallas_stem_interpret_exact(rng):
+    """f32 input: the kernel's im2col matmul is the same contraction as
+    the XLA conv — int8 pooled outputs match exactly (both accumulate in
+    f32, and pool/quantize are elementwise-deterministic)."""
+    B, H, W, O = 2, 64, 64, 128
+    x = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    xs = jnp.asarray(_s2d(x))
+    w = jnp.asarray(rng.normal(size=(4, 4, 12, O)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+    inv = jnp.asarray(
+        (127.0 / np.abs(rng.normal(size=(O,)) * 5 + 6)).astype(np.float32))
+
+    ref = np.asarray(_xla_ref(xs, w, bias, inv, H // 2, W // 2), np.int32)
+    out = np.asarray(
+        s2d_stem_pool_int8(xs, w, bias, inv, interpret=True), np.int32)
+    assert out.shape == (B, H // 4, W // 4, O)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_stem_via_stems_s2d_q8(rng):
+    """stems_s2d_q8(use_pallas=True) returns the same per-expert int8
+    pooled tensors and scales as the XLA path (interpret-mode run is
+    forced through the kernel by monkeypatching the backend check is not
+    needed — use_pallas is explicit)."""
+    import automoe_tpu.ops.pallas_stem as ps
+    from automoe_tpu.serving.quant import stems_s2d_q8
+
+    rng_ = np.random.default_rng(11)
+    qpacks, scales = [], []
+    for _ in range(2):
+        qpacks.append({"conv1": {
+            "w": rng_.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1,
+            "b": rng_.normal(size=(64,)).astype(np.float32) * 0.1,
+        }})
+        scales.append({"layer1_0/conv1": float(abs(rng_.normal()) * 4 + 4)})
+    x = jnp.asarray(rng_.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    orig = ps.s2d_stem_pool_int8
+    try:
+        # run the kernel in interpret mode on CPU
+        ps.s2d_stem_pool_int8 = (
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        )
+        got = stems_s2d_q8(qpacks, scales, x, dtype=jnp.float32,
+                           use_pallas=True)
+    finally:
+        ps.s2d_stem_pool_int8 = orig
+    want = stems_s2d_q8(qpacks, scales, x, dtype=jnp.float32,
+                        use_pallas=False)
+    for (gq, gs), (wq, ws) in zip(got, want):
+        assert gs == ws
+        np.testing.assert_array_equal(np.asarray(gq), np.asarray(wq))
