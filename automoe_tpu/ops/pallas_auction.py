@@ -157,11 +157,22 @@ def auction_solve_pallas(
 def auction_match_pallas(
     pred_logits, pred_boxes, tgt_boxes, tgt_labels,
     *, cost_class: float = 1.0, cost_bbox: float = 5.0, cost_giou: float = 2.0,
-    max_iters: int = 1000, interpret=None,
+    max_iters: int = 300, interpret=None,
 ):
     """hungarian_match-compatible API over the Pallas kernel (matcher name
     'auction_pallas'). 0.38 ms vs 12.4 ms exact Hungarian at
-    B=32/Q=64/N=48 on v5e."""
+    B=32/Q=64/N=48 on v5e.
+
+    max_iters defaults to 300 (was 1000): on DIVERSE predictions the
+    auction converges well under 300 with zero drops, but the clustered
+    predictions of an early-training batch-normalized detector create
+    bidding wars that otherwise thrash toward the cap — 22.8 ms of a
+    25 ms fwd+loss at B=32/256² (train_stage_bench r3 investigation).
+    At 300 the degenerate case costs 7.6 ms and transiently drops ≤12%
+    of targets (near-ties whose assignment is least informative); the
+    drop rate anneals to 0 as predictions diversify. ε-scaling was the
+    principled alternative and is measurably unsound for N<Q (see
+    _EPS_PHASES above)."""
     from automoe_tpu.ops.matching import match_cost_matrix
 
     pred_logits = jax.lax.stop_gradient(pred_logits)

@@ -1,27 +1,31 @@
 """Detection TRAIN-step component budget (VERDICT r2 next #3).
 
-The r2 ledger records a 16.2 ms B=32/256² detection train step against a
+The r2 ledger records a ~16 ms B=32/256² detection train step against a
 ~1.2 ms single-expert forward conv cost — a ~4x fwd+bwd gap with no
-breakdown. This bench measures each stage with the SAME regime as the
-16.2 ms number being explained: donated jitted bodies chained by python
-dependent stepping (train_step_bench.py), differencing two chain lengths
-so dispatch/fetch overhead cancels. (A first version used lax.scan
-chains; scan double-buffers the big carry, inflating state-carrying
-stages ~2x, and reducing only the first state leaf let XLA DCE the whole
-optimizer — both artifacts are gone with the python chain.)
+breakdown. Two measurement regimes were tried and rejected first (their
+artifacts are worth recording):
 
-  stages_ms:
-    fwd_conv        expert forward only (eval mode)
-    fwd_loss        loss_fn(train=True): fwd + matcher + scatter + CE/L1
-    matcher         the assignment alone (default TPU matcher)
-    scatter_loss    target scatter + masked CE + SmoothL1, match given
-    grad            value_and_grad of loss_fn (fwd + bwd)
-    full_step       the jitted optimizer step (grad + clip + AdamW)
+  * lax.scan chains of isolated stage bodies reduce only part of the
+    carry — XLA DCE'd the whole optimizer stage (0.23 ms "full step");
+  * donated python dependent-stepping (train_step_bench's regime) hits
+    this tunnel's per-dispatch RPC floor (~10-12 ms): a bare eval
+    forward "measured" 11.8 ms and stages summed to 2-3x the step.
 
-  derived_ms:
-    bwd       = grad - fwd_loss
-    optimizer = full_step - grad
-    match_overhead_in_fwd = fwd_loss - fwd_conv_train_estimate
+What this bench does instead: INCREMENTAL PROGRAM DIFFERENCING inside
+the production fast path. Four step variants — fwd-only, +matcher/loss,
++backward, +optimizer — each run as a `lax.scan` over the real
+TrainState carry (exactly `steps_per_call` training, CLAUDE.md landmine
+8 regime), with the fetched scalar reducing EVERY state leaf so nothing
+DCEs. Differencing consecutive variants yields per-stage device time
+with dispatch cost cancelled:
+
+  fwd        = t(V_fwd)
+  match_loss = t(V_loss) - t(V_fwd)    matcher + scatter + CE/L1 + BN
+  bwd        = t(V_grad) - t(V_loss)
+  optimizer  = t(V_full) - t(V_grad)   clip + AdamW + schedule
+
+Also reported standalone (scan-chained): the matcher alone and the
+scatter+loss assembly alone, for cross-checking match_loss.
 
 Usage: python benchmarks/train_stage_bench.py [--batch 32] [--image 256]
        [--matcher auction_pallas] [--dtype float32]
@@ -35,6 +39,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import argparse
+import functools
 import json
 import time
 
@@ -45,31 +50,41 @@ import numpy as np
 from automoe_tpu.utils import enable_compile_cache
 
 
-def timed_pychain(body, make_c0, *aux, k_lo=4, k_hi=16, reps=3):
-    """Per-iteration device time of `body` (carry, *aux) -> carry.
+def timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
+    """Per-iteration time of `step_fn` (carry, *aux) -> carry, scanned K
+    times with the FULL carry reduced into the fetched scalar (no DCE)
+    and differenced over two K's (dispatch/fetch cost cancels). The
+    carry is NOT donated, so one device-resident c0 serves every run —
+    re-uploading a 135 MB TrainState per rep over this tunnel (~50 MB/s)
+    buried the signal in upload-scheduling noise."""
 
-    The carry pytree is DONATED, each python dispatch depends on the
-    previous one's full output state (nothing hoists, buffers update in
-    place — exactly the production Trainer regime), and the chain ends in
-    a real host fetch (block_until_ready acks early on this runtime).
-    make_c0 must build a fresh carry per run: donation consumes buffers.
-    """
-    step = jax.jit(body, donate_argnums=0)
+    @functools.partial(jax.jit, static_argnames="K")
+    def chained(c, K, *aux):
+        def body(c, _):
+            return step_fn(c, *aux), ()
+
+        out, _ = jax.lax.scan(body, c, None, length=K)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32).ravel()[:1])
+            for leaf in jax.tree.leaves(out)
+        )
 
     def run(K):
-        c = make_c0()
-        t0 = time.perf_counter()
-        for _ in range(K):
-            c = step(c, *aux)
-        np.asarray(jax.tree.leaves(c)[0])  # host fetch forces completion
-        return time.perf_counter() - t0
+        np.asarray(chained(c0, K, *aux))  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chained(c0, K, *aux))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    run(2)  # compile
-    t_lo = min(run(k_lo) for _ in range(reps))
-    t_hi = min(run(k_hi) for _ in range(reps))
-    slope = (t_hi - t_lo) / (k_hi - k_lo) * 1e3
+    slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
     if slope <= 0:
-        raise RuntimeError(f"non-positive chain slope {slope:.4f} ms")
+        # sub-noise stage (can happen for ~0-cost bodies on CPU smoke
+        # runs); report 0 rather than abort the whole budget
+        print(f"[tsb] WARNING: non-positive slope {slope:.4f} ms -> 0",
+              file=sys.stderr, flush=True)
+        return 0.0
     return slope
 
 
@@ -80,8 +95,20 @@ def main():
     p.add_argument("--matcher", default=None)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--box-cap", type=int, default=48)
+    p.add_argument(
+        "--matcher-iters", type=int, default=None,
+        help="override auction_match_pallas max_iters (before/after "
+        "measurement of the iteration cap)",
+    )
     args = p.parse_args()
     enable_compile_cache()
+
+    if args.matcher_iters is not None:
+        import automoe_tpu.ops.pallas_auction as _pa
+
+        _pa.auction_match_pallas = functools.partial(
+            _pa.auction_match_pallas, max_iters=args.matcher_iters
+        )
 
     from automoe_tpu.losses.detection import (
         _get_matcher,
@@ -102,47 +129,88 @@ def main():
     )
     model = wl.model
     rng = np.random.default_rng(0)
-    img_np = rng.normal(size=(B, S, S, 3)).astype(np.float32)
-    img = jnp.asarray(img_np)
+    img = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32))
     xy1 = rng.uniform(0.05, 0.45, (B, N, 2))
     xy2 = rng.uniform(0.55, 0.95, (B, N, 2))
     boxes = jnp.asarray(np.concatenate([xy1, xy2], -1).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, C, (B, N)).astype(np.int32))
+    batch = {"image": img, "bboxes": boxes, "labels": labels}
     variables = wl.init_variables(jax.random.key(0))
-    params = variables["params"]
-    stats = variables.get("batch_stats", {})
-    params_np = jax.device_get(params)  # fresh donated carries per run
-    stats_np = jax.device_get(stats)
+    params_np = jax.device_get(variables["params"])
+    stats_np = jax.device_get(variables.get("batch_stats", {}))
     key = jax.random.key(1)
-    results = {}
-    fresh_img = lambda: jnp.asarray(img_np)
-
-    # All device values cross the jit boundary as ARGUMENTS — closed-over
-    # device arrays are the dispatch-poison landmine (CLAUDE.md rule 1).
-
-    # 1. pure conv forward (eval mode — no BN stat update)
-    def fwd_conv(c, p, st):
-        out = model.apply({"params": p, "batch_stats": st}, c)
-        return c + jnp.mean(out["class_logits"]).astype(c.dtype) * 1e-7
-
-    results["fwd_conv"] = timed_pychain(fwd_conv, fresh_img, params, stats)
-
-    # 2. loss_fn train=True (fwd + matcher + scatter + losses + BN stats)
-    def fwd_loss(c, p, st, bx, lb, k):
-        loss, _ = wl.loss_fn(
-            p, st, {"image": c, "bboxes": bx, "labels": lb}, k, True,
-        )
-        return c + loss.astype(c.dtype) * 1e-7
-
-    results["fwd_loss"] = timed_pychain(
-        fwd_loss, fresh_img, params, stats, boxes, labels, key
+    tx = make_optimizer(
+        learning_rate=1e-4, weight_decay=1e-4, total_steps=1000
     )
 
-    # 3. matcher alone on representative predictions
+    state0 = TrainState.create(
+        params=jax.tree.map(jnp.asarray, params_np), tx=tx,
+        batch_stats=jax.tree.map(jnp.asarray, stats_np),
+    )
+
+    eps = jnp.float32(1e-12)
+
+    # V_fwd: eval-mode forward only; params nudged by the output so the
+    # scan carry depends on the whole computation
+    def v_fwd(state, b, k):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            b["image"],
+        )
+        s = (jnp.mean(out["class_logits"].astype(jnp.float32))
+             + jnp.mean(out["bbox_deltas"].astype(jnp.float32)))
+        new_params = jax.tree.map(
+            lambda p_: p_ + (eps * s).astype(p_.dtype), state.params
+        )
+        return state.replace(step=state.step + 1, params=new_params)
+
+    # V_loss: the real loss_fn (train=True: matcher + scatter + CE/L1 +
+    # BN batch stats), no backward
+    def v_loss(state, b, k):
+        k = jax.random.fold_in(k, state.step)
+        loss, (_, new_stats) = wl.loss_fn(
+            state.params, state.batch_stats, b, k, True
+        )
+        new_params = jax.tree.map(
+            lambda p_: p_ + (eps * loss).astype(p_.dtype), state.params
+        )
+        return state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats
+        )
+
+    # V_grad: value_and_grad, raw SGD-eps update (no clip/AdamW)
+    def v_grad(state, b, k):
+        k = jax.random.fold_in(k, state.step)
+
+        def f(p_):
+            return wl.loss_fn(p_, state.batch_stats, b, k, True)
+
+        (_, (_, new_stats)), grads = jax.value_and_grad(f, has_aux=True)(
+            state.params
+        )
+        new_params = jax.tree.map(
+            lambda p_, g: p_ - (eps * g.astype(jnp.float32)).astype(p_.dtype),
+            state.params, grads,
+        )
+        return state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats
+        )
+
+    # V_full: the production body (grad + clip + AdamW + stats)
+    def v_full(state, b, k):
+        new_state, _ = _train_body(wl.loss_fn, state, b, k)
+        return new_state
+
+    results = {}
+    for name, fn in [("v_fwd", v_fwd), ("v_loss", v_loss),
+                     ("v_grad", v_grad), ("v_full", v_full)]:
+        results[name] = timed_scan(fn, state0, batch, key)
+        print(f"[tsb] {name}: {results[name]:.3f} ms", file=sys.stderr,
+              flush=True)
+
+    # standalone cross-checks (image-shaped carries, same scan regime)
     Q = (S // 32) ** 2
     logits_np = rng.normal(size=(B, Q, C)).astype(np.float32)
-    logits0 = jnp.asarray(logits_np)
-    fresh_logits = lambda: jnp.asarray(logits_np)
     pboxes = jnp.asarray(rng.uniform(0.0, 1.0, (B, Q, 4)).astype(np.float32))
     tgt_cxcywh = box_convert(boxes, "xyxy", "cxcywh")
     match_fn = _get_matcher(matcher)
@@ -151,12 +219,12 @@ def main():
         qidx, valid = match_fn(c, pb, tg, lb)
         return c + jnp.sum(qidx).astype(c.dtype) * 1e-12
 
-    results["matcher"] = timed_pychain(
-        match_body, fresh_logits, pboxes, tgt_cxcywh, labels
+    results["matcher_alone"] = timed_scan(
+        match_body, jnp.asarray(logits_np), pboxes, tgt_cxcywh, labels,
     )
-
-    # 4. scatter + masked CE/L1 with the match given
-    qidx0, valid0 = jax.jit(match_fn)(logits0, pboxes, tgt_cxcywh, labels)
+    qidx0, valid0 = jax.jit(match_fn)(
+        jnp.asarray(logits_np), pboxes, tgt_cxcywh, labels
+    )
 
     def scatter_body(c, pb, qi, va, tg, lb):
         tc, tb = scatter_matched_targets(qi, va, tg, lb, Q, C)
@@ -169,58 +237,23 @@ def main():
         )
         return c + (cl + bl).astype(c.dtype) * 1e-7
 
-    results["scatter_loss"] = timed_pychain(
-        scatter_body, fresh_logits, pboxes, qidx0, valid0, tgt_cxcywh, labels
-    )
-
-    # 5. fwd + bwd (no optimizer)
-    def grad_body(c, st, im, bx, lb, k):
-        def f(p):
-            loss, _ = wl.loss_fn(
-                p, st, {"image": im, "bboxes": bx, "labels": lb}, k, True,
-            )
-            return loss
-
-        grads = jax.grad(f)(c)
-        return jax.tree.map(lambda p, g: p - 1e-12 * g, c, grads)
-
-    fresh_params = lambda: jax.tree.map(jnp.asarray, params_np)
-    results["grad"] = timed_pychain(
-        grad_body, fresh_params, stats, img, boxes, labels, key
-    )
-
-    # 6. the real jitted optimizer step
-    tx = make_optimizer(
-        learning_rate=1e-4, weight_decay=1e-4, total_steps=1000
-    )
-
-    def fresh_state():
-        return TrainState.create(
-            params=jax.tree.map(jnp.asarray, params_np), tx=tx,
-            batch_stats=jax.tree.map(jnp.asarray, stats_np),
-        )
-
-    def step_body(st, im, bx, lb, k):
-        new_state, _ = _train_body(
-            wl.loss_fn, st, {"image": im, "bboxes": bx, "labels": lb}, k,
-        )
-        return new_state
-
-    results["full_step"] = timed_pychain(
-        step_body, fresh_state, img, boxes, labels, key
+    results["scatter_loss_alone"] = timed_scan(
+        scatter_body, jnp.asarray(logits_np), pboxes, qidx0, valid0,
+        tgt_cxcywh, labels,
     )
 
     derived = {
-        "bwd": results["grad"] - results["fwd_loss"],
-        "optimizer": results["full_step"] - results["grad"],
-        "match_plus_scatter": results["matcher"] + results["scatter_loss"],
+        "fwd": results["v_fwd"],
+        "match_loss": results["v_loss"] - results["v_fwd"],
+        "bwd": results["v_grad"] - results["v_loss"],
+        "optimizer": results["v_full"] - results["v_grad"],
     }
     print(json.dumps({
         "metric": "detection_train_step_budget",
         "batch": B, "image": S, "matcher": matcher, "dtype": args.dtype,
         "stages_ms": {k: round(v, 3) for k, v in results.items()},
         "derived_ms": {k: round(v, 3) for k, v in derived.items()},
-        "samples_per_sec": round(B / results["full_step"] * 1e3, 1),
+        "samples_per_sec": round(B / results["v_full"] * 1e3, 1),
     }))
 
 
