@@ -16,6 +16,7 @@ segment-scatter; its scipy-on-CPU assignment is the on-device
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
@@ -28,18 +29,28 @@ from automoe_tpu.ops.matching import hungarian_match
 def _get_matcher(name: str):
     """'hungarian' (exact, optax), 'auction' (ε-optimal jnp, ~6x faster on
     TPU), or 'auction_pallas' (VMEM-resident Pallas kernel, ~33x — see
-    ops/pallas_auction.py)."""
-    if name == "hungarian":
+    ops/pallas_auction.py).
+
+    The auction matchers accept an iteration-cap suffix, e.g.
+    'auction_pallas:1000' (CLI: `--matcher auction_pallas:1000`). The
+    cap trades worst-case step time against transient target drops on
+    degenerate early-training predictions — see the train-step budget in
+    benchmarks/BENCHMARKS.md for the measured tradeoff.
+    """
+    base, _, iters = name.partition(":")
+    if iters and base == "hungarian":
+        raise ValueError("hungarian matcher has no iteration cap")
+    if base == "hungarian":
         return hungarian_match
-    if name == "auction":
-        from automoe_tpu.ops.auction import auction_match
-
-        return auction_match
-    if name == "auction_pallas":
-        from automoe_tpu.ops.pallas_auction import auction_match_pallas
-
-        return auction_match_pallas
-    raise ValueError(f"unknown matcher {name}")
+    if base == "auction":
+        from automoe_tpu.ops.auction import auction_match as fn
+    elif base == "auction_pallas":
+        from automoe_tpu.ops.pallas_auction import auction_match_pallas as fn
+    else:
+        raise ValueError(f"unknown matcher {name}")
+    if iters:
+        return functools.partial(fn, max_iters=int(iters))
+    return fn
 
 
 def scatter_matched_targets(

@@ -56,8 +56,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
     p.add_argument("--matcher", default=None,
-                   choices=["auction", "auction_pallas", "hungarian"],
-                   help="set-matching solver for detection-style losses "
+                   help="set-matching solver for detection-style losses: "
+                        "auction | auction_pallas | hungarian, auction "
+                        "variants take an optional iteration-cap suffix "
+                        "('auction_pallas:1000') trading worst-case step "
+                        "time vs transient drops on degenerate predictions "
                         "(default: auction_pallas on TPU, auction elsewhere)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (params stay fp32)")

@@ -406,6 +406,12 @@ class Trainer:
                 w = float(real) / float(max(1, bsz))
                 if self._exact_tail_ok(real):
                     db = {k: v[:real] for k, v in db.items()}
+                    if self.mesh is not None:
+                        # slicing drops the batch sharding (the result
+                        # comes back replicated) — re-place it, or an
+                        # eval_step with explicit in_shardings (EP's
+                        # shard_map) rejects the arg
+                        db = shard_batch(db, self.mesh)
             else:
                 w = 1.0
             self.logger.heartbeat()

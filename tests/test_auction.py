@@ -114,3 +114,36 @@ def test_auction_single_query_matches_hungarian(rng):
         np.testing.assert_allclose(
             cost[0, matched_t], cost[ri, ci].sum(), rtol=1e-5
         )
+
+
+def test_matcher_spec_iteration_cap(rng):
+    """'name:iters' matcher specs cap the auction's iterations.
+
+    CLI surface for the cap-vs-drops tradeoff measured in the train-step
+    budget (benchmarks/BENCHMARKS.md); reference-exact matching stays
+    reachable via 'hungarian' or a high cap.
+    """
+    import functools
+
+    import pytest
+
+    from automoe_tpu.losses.detection import _get_matcher
+
+    fn = _get_matcher("auction:37")
+    assert isinstance(fn, functools.partial)
+    assert fn.keywords == {"max_iters": 37}
+
+    # capped spec solves a well-separated problem identically to uncapped
+    logits, boxes, tb, tl, counts = _random_problem(rng, B=2, Q=8, N=4)
+    qi_cap, va_cap = _get_matcher("auction:500")(logits, boxes, tb, tl)
+    qi_ref, va_ref = _get_matcher("auction")(logits, boxes, tb, tl)
+    assert np.array_equal(np.asarray(va_cap), np.asarray(va_ref))
+    assert np.array_equal(
+        np.asarray(qi_cap)[np.asarray(va_cap)],
+        np.asarray(qi_ref)[np.asarray(va_ref)],
+    )
+
+    with pytest.raises(ValueError):
+        _get_matcher("hungarian:5")
+    with pytest.raises(ValueError):
+        _get_matcher("nope")
