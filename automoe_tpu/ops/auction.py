@@ -98,6 +98,45 @@ def _auction_phase(benefit, valid, price, eps, max_iters):
     return price, person_obj
 
 
+def _greedy_complete(benefit, valid, person_obj):
+    """Assign every still-unassigned valid person to its best FREE object.
+
+    benefit [B,N,Q], valid [B,N], person_obj [B,N] (−1 = unassigned) →
+    person_obj with no −1 rows left (unless free objects ran out, i.e.
+    more valid persons than objects). Runs after a capped auction phase:
+    on converged problems every person is already assigned and this is a
+    no-op; at the iteration cap it converts would-be target DROPS into
+    greedy matches. The persons left unassigned at the cap are exactly
+    the near-tie bidders (that is why the auction thrashed), so greedy
+    resolution costs ~0 assignment quality — measured vs exact Hungarian
+    in tests/test_auction.py::test_capped_auction_greedy_completion.
+    """
+    B, N, Q = benefit.shape
+    taken = jnp.any(
+        jax.nn.one_hot(person_obj, Q, dtype=bool)
+        & (person_obj >= 0)[..., None],
+        axis=1,
+    )  # [B,Q]
+
+    def body(n, state):
+        person_obj, taken = state
+        needs = (person_obj[:, n] < 0) & valid[:, n]  # [B]
+        vals = jnp.where(taken, _NEG, benefit[:, n, :])  # [B,Q]
+        best = jnp.argmax(vals, axis=1)  # [B]
+        free = jnp.max(vals, axis=1) > _NEG * 0.5  # [B]
+        assign = needs & free
+        person_obj = person_obj.at[:, n].set(
+            jnp.where(assign, best.astype(jnp.int32), person_obj[:, n])
+        )
+        taken = taken | (
+            assign[:, None] & (jnp.arange(Q)[None, :] == best[:, None])
+        )
+        return person_obj, taken
+
+    person_obj, _ = jax.lax.fori_loop(0, N, body, (person_obj, taken))
+    return person_obj
+
+
 def _auction_solve(benefit, valid, *, eps_fraction=1e-2, max_iters=1000):
     """Single-phase auction with ε = spread·eps_fraction/N.
 
@@ -114,6 +153,9 @@ def _auction_solve(benefit, valid, *, eps_fraction=1e-2, max_iters=1000):
     eps = spread * eps_fraction / jnp.maximum(N, 1)
     price = jnp.zeros((B, Q), benefit.dtype)
     _, person_obj = _auction_phase(benefit, valid, price, eps, max_iters)
+    if Q > 1:
+        # no-op when the phase converged; completes capped runs greedily
+        person_obj = _greedy_complete(benefit, valid, person_obj)
     return person_obj
 
 
@@ -151,9 +193,12 @@ def auction_match(
     query_idx = _auction_solve(
         benefit, valid, eps_fraction=eps_fraction, max_iters=max_iters,
     )
-    # If the phase exhausted max_iters with targets still unassigned
-    # (person_obj == -1), DROP those targets (valid=False → the loss's
-    # scrap row) instead of silently clipping them onto query 0, which
-    # would fabricate duplicate/arbitrary matches (ADVICE r1).
+    # A capped phase leaves its near-tie bidders unassigned; greedy
+    # completion (inside _auction_solve) matches them to free queries, so
+    # every valid target is matched whenever #targets <= Q — matching the
+    # reference's every-target-matched semantics. The guard below only
+    # fires in the #valid-targets > Q corner (no free query left), where
+    # dropping is the only sound option (never clip onto query 0, which
+    # would fabricate duplicate matches — ADVICE r1).
     valid = valid & (query_idx >= 0)
     return jnp.clip(query_idx, 0).astype(jnp.int32), valid

@@ -105,6 +105,37 @@ def _auction_kernel(benefit_ref, valid_ref, eps_ref, out_ref, *, max_iters):
         price, person_obj, it = jax.lax.while_loop(
             cond, make_body(eps_p), (price, person_obj, it)
         )
+
+    # Greedy completion: persons the capped phase left unassigned (the
+    # near-tie bidders that caused the thrash) take their best FREE
+    # object, row by row — a no-op when the phase converged. N cheap VPU
+    # iterations; keeps the every-target-matched semantics whenever
+    # #valid persons <= Q. Same policy as ops/auction.py::_greedy_complete.
+    taken = jnp.any(
+        (iota_q == person_obj) & (person_obj >= 0), axis=0, keepdims=True
+    )  # [1,Q]
+
+    iota_n_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)  # [N,1]
+    iota_q_row = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)  # [1,Q]
+
+    def complete_body(n, state):
+        person_obj, taken = state
+        row_n = iota_n_col == n  # [N,1] one-hot row selector
+        row_vals = jnp.max(
+            jnp.where(iota_n == n, benefit, _NEG), axis=0, keepdims=True
+        )  # [1,Q] = benefit[n]
+        needs = jnp.any(row_n & (person_obj < 0) & valid)  # scalar
+        vals = jnp.where(taken, _NEG, row_vals)  # [1,Q]
+        vmax = jnp.max(vals)
+        best = jnp.min(jnp.where(vals >= vmax, iota_q_row, Q))  # first argmax
+        assign = needs & (vmax > _NEG * 0.5)
+        person_obj = jnp.where(row_n & assign, best, person_obj)
+        taken = taken | (assign & (iota_q_row == best))
+        return person_obj, taken
+
+    person_obj, taken = jax.lax.fori_loop(
+        0, N, complete_body, (person_obj, taken)
+    )
     out_ref[0] = person_obj
 
 
@@ -164,13 +195,16 @@ def auction_match_pallas(
     B=32/Q=64/N=48 on v5e.
 
     max_iters defaults to 300 (was 1000): on DIVERSE predictions the
-    auction converges well under 300 with zero drops, but the clustered
-    predictions of an early-training batch-normalized detector create
-    bidding wars that otherwise thrash toward the cap — 22.8 ms of a
-    25 ms fwd+loss at B=32/256² (train_stage_bench r3 investigation).
-    At 300 the degenerate case costs 7.6 ms and transiently drops ≤12%
-    of targets (near-ties whose assignment is least informative); the
-    drop rate anneals to 0 as predictions diversify. ε-scaling was the
+    auction converges well under 300, but the clustered predictions of
+    an early-training batch-normalized detector create bidding wars
+    that otherwise thrash toward the cap — 22.8 ms of a 25 ms fwd+loss
+    at B=32/256² (train_stage_bench r3 investigation). Targets still
+    unassigned at the cap (near-tie bidders whose assignment is least
+    informative) are GREEDILY COMPLETED onto free queries inside the
+    kernel, so every valid target is matched whenever #targets <= Q —
+    the capped matcher never drops targets, it resolves the contested
+    near-ties greedily instead (assignment-cost delta vs exact
+    Hungarian measured in tests/test_auction.py). ε-scaling was the
     principled alternative and is measurably unsound for N<Q (see
     _EPS_PHASES above)."""
     from automoe_tpu.ops.matching import match_cost_matrix
@@ -201,7 +235,9 @@ def auction_match_pallas(
     qi = auction_solve_pallas(
         benefit, valid, eps, max_iters=max_iters, interpret=interpret,
     )
-    # non-converged targets (qi == -1) are dropped, not clipped onto
-    # query 0 (same policy as auction_match — see ops/auction.py)
+    # The kernel's greedy completion matches every capped-out target to a
+    # free query, so qi == -1 survives only when #valid targets > Q (no
+    # free query left) — those are dropped, never clipped onto query 0
+    # (same policy as auction_match — see ops/auction.py)
     valid = valid & (qi >= 0)
     return jnp.clip(qi, 0).astype(jnp.int32), valid
