@@ -111,9 +111,12 @@ def _auction_kernel(benefit_ref, valid_ref, eps_ref, out_ref, *, max_iters):
     # object, row by row — a no-op when the phase converged. N cheap VPU
     # iterations; keeps the every-target-matched semantics whenever
     # #valid persons <= Q. Same policy as ops/auction.py::_greedy_complete.
+    # The loop carry holds `taken` as int32 (0/1), NOT bool: Mosaic fails
+    # to legalize an scf.for whose carried value is an i1 vector mask
+    # ("failed to legalize operation 'scf.for'", r3 on this toolchain).
     taken = jnp.any(
         (iota_q == person_obj) & (person_obj >= 0), axis=0, keepdims=True
-    )  # [1,Q]
+    ).astype(jnp.int32)  # [1,Q] 0/1
 
     iota_n_col = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)  # [N,1]
     iota_q_row = jax.lax.broadcasted_iota(jnp.int32, (1, Q), 1)  # [1,Q]
@@ -125,12 +128,12 @@ def _auction_kernel(benefit_ref, valid_ref, eps_ref, out_ref, *, max_iters):
             jnp.where(iota_n == n, benefit, _NEG), axis=0, keepdims=True
         )  # [1,Q] = benefit[n]
         needs = jnp.any(row_n & (person_obj < 0) & valid)  # scalar
-        vals = jnp.where(taken, _NEG, row_vals)  # [1,Q]
+        vals = jnp.where(taken > 0, _NEG, row_vals)  # [1,Q]
         vmax = jnp.max(vals)
         best = jnp.min(jnp.where(vals >= vmax, iota_q_row, Q))  # first argmax
         assign = needs & (vmax > _NEG * 0.5)
         person_obj = jnp.where(row_n & assign, best, person_obj)
-        taken = taken | (assign & (iota_q_row == best))
+        taken = jnp.where(assign & (iota_q_row == best), 1, taken)
         return person_obj, taken
 
     person_obj, taken = jax.lax.fori_loop(

@@ -5,3 +5,7 @@ from automoe_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
 )
+from automoe_tpu.parallel.sp import (  # noqa: F401
+    shard_batch_spatial,
+    spatial_batch_shardings,
+)

@@ -66,6 +66,21 @@ def _add_common(p: argparse.ArgumentParser):
                    help="bf16 compute (params stay fp32)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
+    p.add_argument("--model-axis", type=int, default=1,
+                   help="mesh 'model'-axis size (devices split data x "
+                        "model); required > 1 by --spatial and "
+                        "--tp-min-dim")
+    p.add_argument("--spatial", action="store_true",
+                   help="spatial partitioning: shard image HEIGHT over "
+                        "the 'model' axis (parallel/sp.py) — for frames "
+                        "too large for one chip's HBM; needs "
+                        "--model-axis > 1 dividing the image height")
+    p.add_argument("--tp-min-dim", type=int, default=0,
+                   help="tensor parallelism: shard kernels whose last "
+                        "dim is >= this (and divisible by the 'model' "
+                        "axis) over 'model' (parallel/tp.py); 0 = off; "
+                        "needs --model-axis > 1; exclusive with "
+                        "--spatial")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--coordinator", default=None,
@@ -109,8 +124,20 @@ def _init_backend(args):
 
 def _mesh(args):
     if args.no_mesh:
+        if getattr(args, "spatial", False):
+            raise SystemExit("--spatial requires a device mesh")
+        if getattr(args, "tp_min_dim", 0) > 0:
+            raise SystemExit("--tp-min-dim requires a device mesh")
         return None
-    return make_mesh(MeshSpec(data=-1, model=1))
+    model = getattr(args, "model_axis", 1)
+    if getattr(args, "spatial", False) and model < 2:
+        raise SystemExit("--spatial needs --model-axis > 1")
+    if getattr(args, "tp_min_dim", 0) > 0 and model < 2:
+        raise SystemExit("--tp-min-dim needs --model-axis > 1")
+    if getattr(args, "spatial", False) and getattr(args, "tp_min_dim", 0) > 0:
+        raise SystemExit("--spatial and --tp-min-dim are exclusive "
+                         "(both consume the 'model' mesh axis)")
+    return make_mesh(MeshSpec(data=-1, model=model))
 
 
 def _args_dump(args) -> dict:
@@ -140,6 +167,8 @@ def _train_cfg(args) -> TrainConfig:
         steps_per_call=getattr(args, "steps_per_call", 1),
         profile_dir=getattr(args, "profile_dir", None),
         save_every_steps=getattr(args, "save_every_steps", 0),
+        spatial=getattr(args, "spatial", False),
+        tp_min_dim=getattr(args, "tp_min_dim", 0),
     )
 
 
@@ -280,6 +309,16 @@ def cmd_gating(args):
 
         if args.no_mesh:
             raise SystemExit("--parallelism ep requires a device mesh")
+        if args.spatial:
+            raise SystemExit(
+                "--spatial is exclusive with --parallelism ep (both "
+                "consume the 'model' mesh axis)"
+            )
+        if args.tp_min_dim > 0:
+            raise SystemExit(
+                "--tp-min-dim is exclusive with --parallelism ep (both "
+                "consume the 'model' mesh axis)"
+            )
         n_experts = len(model_cfg.experts)
         if len(jax.devices()) % n_experts:
             raise SystemExit(

@@ -20,6 +20,7 @@ from automoe_tpu.ckpt.checkpoint import CheckpointManager
 from automoe_tpu.parallel.mesh import shard_batch
 from automoe_tpu.train.state import TrainState, make_optimizer
 from automoe_tpu.train.step import (
+    _DEFAULT_BATCH as _DEF_BATCH,
     make_eval_step,
     make_scan_train_step,
     make_train_step,
@@ -78,6 +79,15 @@ class TrainConfig:
     # resume with resume='full', resume_from='step' to continue from the
     # exact batch (the loader's per-epoch shuffle is deterministic).
     save_every_steps: int = 0
+    # spatial partitioning: shard the image HEIGHT axis over the mesh's
+    # 'model' axis (parallel/sp.py) — for frames too large for one
+    # chip's HBM at a useful batch. Needs a mesh with model > 1 and H
+    # divisible by it; exclusive with steps_per_call > 1.
+    spatial: bool = False
+    # tensor parallelism: shard wide kernels (last dim >= tp_min_dim,
+    # divisible by the 'model' axis) over 'model' (parallel/tp.py).
+    # 0 = off. Exclusive with spatial (both consume the 'model' axis).
+    tp_min_dim: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -117,13 +127,63 @@ class Trainer:
             tx=tx,
             batch_stats=variables.get("batch_stats", {}),
         )
-        self.train_step = make_train_step(workload.loss_fn, mesh=mesh)
+        if config.spatial:
+            if mesh is None or dict(mesh.shape).get("model", 1) < 2:
+                raise ValueError(
+                    "spatial partitioning needs a mesh with a 'model' "
+                    "axis > 1 (got "
+                    f"{None if mesh is None else dict(mesh.shape)})"
+                )
+            if config.steps_per_call > 1:
+                raise ValueError(
+                    "spatial partitioning and steps_per_call > 1 are "
+                    "exclusive (stacked [K,B,...] batches keep P('data'))"
+                )
+            if config.tp_min_dim > 0:
+                raise ValueError(
+                    "spatial and tensor parallelism are exclusive (both "
+                    "consume the 'model' mesh axis)"
+                )
+        state_sh = None
+        if config.tp_min_dim > 0:
+            if mesh is None or dict(mesh.shape).get("model", 1) < 2:
+                raise ValueError(
+                    "tensor parallelism (tp_min_dim > 0) needs a mesh "
+                    "with a 'model' axis > 1 (got "
+                    f"{None if mesh is None else dict(mesh.shape)})"
+                )
+            from automoe_tpu.parallel.tp import shard_state
+
+            self.state, state_sh = shard_state(
+                self.state, mesh, min_dim=config.tp_min_dim
+            )
+        # batch_shardings=None → jit infers the batch layout from the
+        # committed input sharding (the spatial P('data','model') images
+        # _place() produces) instead of resharding to P('data').
+        # with_spatial_gather re-gathers small-H activations to P('data')
+        # inside the traced model — required for backward correctness on
+        # this XLA (parallel/sp.py docstring) and for halo efficiency.
+        batch_sh = None if config.spatial else _DEF_BATCH
+        loss_fn = workload.loss_fn
+        if config.spatial:
+            from automoe_tpu.parallel.sp import with_spatial_gather
+
+            loss_fn = with_spatial_gather(loss_fn, mesh)
+        self.train_step = make_train_step(
+            loss_fn, mesh=mesh, batch_shardings=batch_sh,
+            state_sharding=state_sh,
+        )
         self.scan_train_step = (
-            make_scan_train_step(workload.loss_fn, mesh=mesh)
+            make_scan_train_step(
+                workload.loss_fn, mesh=mesh, state_sharding=state_sh
+            )
             if config.steps_per_call > 1
             else None
         )
-        self.eval_step = make_eval_step(workload.loss_fn, mesh=mesh)
+        self.eval_step = make_eval_step(
+            loss_fn, mesh=mesh, batch_shardings=batch_sh,
+            state_sharding=state_sh,
+        )
         self.metrics_step = (
             jax.jit(
                 lambda state, batch: workload.metrics_fn(
@@ -172,11 +232,11 @@ class Trainer:
             # transfer itself — per-batch loader-thread H2D would get in
             # the way (device arrays can't be np.stack'd host-side).
             return
-        mesh = self.mesh
+        place = self._place
 
         def put(batch):
             batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
-            return shard_batch(batch, mesh)
+            return place(batch)
 
         for dl in (self.train_loader, self.val_loader):
             if (
@@ -186,6 +246,15 @@ class Trainer:
             ):
                 dl.device_put_fn = put
 
+    def _place(self, batch: Dict[str, np.ndarray]):
+        """Mesh placement for one host batch: spatial (images height-
+        sharded over 'model') when cfg.spatial, else P('data')."""
+        if self.cfg.spatial:
+            from automoe_tpu.parallel.sp import shard_batch_spatial
+
+            return shard_batch_spatial(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
+
     def _device_batch(self, batch: Dict[str, np.ndarray]):
         batch = {
             k: v for k, v in batch.items()
@@ -194,7 +263,7 @@ class Trainer:
         if any(isinstance(v, jax.Array) for v in batch.values()):
             return batch  # already transferred by the loader thread
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            return self._place(batch)
         return batch
 
     def _train_epoch_scan(self, epoch: int) -> float:
@@ -411,7 +480,7 @@ class Trainer:
                         # comes back replicated) — re-place it, or an
                         # eval_step with explicit in_shardings (EP's
                         # shard_map) rejects the arg
-                        db = shard_batch(db, self.mesh)
+                        db = self._place(db)
             else:
                 w = 1.0
             self.logger.heartbeat()

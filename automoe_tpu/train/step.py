@@ -43,10 +43,19 @@ def _train_body(loss_fn: LossFn, state, batch, rng):
     return new_state, metrics
 
 
+# sentinel: batch_shardings left at the default → shard P('data').
+# Passing None instead means "infer from the argument's committed
+# sharding" (jit's None semantics) — how spatial partitioning enters:
+# `parallel.sp.shard_batch_spatial` commits images to P('data','model')
+# and the step honors that layout instead of resharding to P('data').
+_DEFAULT_BATCH = object()
+
+
 def make_train_step(
     loss_fn: LossFn,
     mesh: Optional[Mesh] = None,
     state_sharding: Any = None,
+    batch_shardings: Any = _DEFAULT_BATCH,
 ):
     def train_step(state, batch, rng):
         return _train_body(loss_fn, state, batch, rng)
@@ -55,7 +64,10 @@ def make_train_step(
         return jax.jit(train_step, donate_argnums=(0,))
 
     repl = replicate(mesh)
-    data = batch_sharding(mesh)
+    data = (
+        batch_sharding(mesh) if batch_shardings is _DEFAULT_BATCH
+        else batch_shardings
+    )
     state_sh = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
@@ -98,7 +110,12 @@ def make_scan_train_step(
     )
 
 
-def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
+def make_eval_step(
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    batch_shardings: Any = _DEFAULT_BATCH,
+    state_sharding: Any = None,
+):
     def eval_step(state, batch, rng):
         loss, (metrics, _) = loss_fn(state.params, state.batch_stats, batch, rng, False)
         metrics = dict(metrics)
@@ -108,7 +125,11 @@ def make_eval_step(loss_fn: LossFn, mesh: Optional[Mesh] = None):
     if mesh is None:
         return jax.jit(eval_step)
     repl = replicate(mesh)
-    data = batch_sharding(mesh)
+    data = (
+        batch_sharding(mesh) if batch_shardings is _DEFAULT_BATCH
+        else batch_shardings
+    )
+    state_sh = state_sharding if state_sharding is not None else repl
     return jax.jit(
-        eval_step, in_shardings=(repl, data, repl), out_shardings=repl
+        eval_step, in_shardings=(state_sh, data, repl), out_shardings=repl
     )
