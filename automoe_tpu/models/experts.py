@@ -55,10 +55,11 @@ class BDDDetectionExpert(nn.Module):
 
     num_classes: int = 10
     dtype: Dtype = jnp.float32
+    remat: bool = False  # per-block activation checkpointing in the backbone
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = ResNet18Backbone(dtype=self.dtype, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
         out = _ConvHead(self.num_classes + 4, dtype=self.dtype, name="head")(feats)
         return {
             "class_logits": out[..., : self.num_classes],  # [B,H/32,W/32,C]
@@ -81,11 +82,12 @@ class BDDSegmentationExpert(nn.Module):
 
     num_classes: int = 19
     dtype: Dtype = jnp.float32
+    remat: bool = False  # per-block activation checkpointing in the backbone
     upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        feats = ResNet18Backbone(dtype=self.dtype, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
         if not self.upsample:
             return logits  # [B,H/32,W/32,C]
@@ -97,11 +99,12 @@ class BDDDrivableExpert(nn.Module):
 
     num_classes: int = 3
     dtype: Dtype = jnp.float32
+    remat: bool = False  # per-block activation checkpointing in the backbone
     upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        feats = ResNet18Backbone(dtype=self.dtype, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
         if not self.upsample:
             return logits
@@ -180,6 +183,7 @@ class NuScenesImage2DHead(nn.Module):
     num_queries: int = 196
     num_classes: int = 10
     dtype: Dtype = jnp.float32
+    remat: bool = False  # per-block activation checkpointing in the backbone
 
     @nn.compact
     def __call__(
@@ -187,7 +191,8 @@ class NuScenesImage2DHead(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         feat = ResNet18Backbone(
-            include_pool=True, dtype=self.dtype, name="image_backbone"
+            include_pool=True, dtype=self.dtype, remat=self.remat,
+            name="image_backbone"
         )(image, train=train)
         feat = nn.Dense(256, dtype=self.dtype, name="image_projection")(feat)
         queries = self.param(
@@ -219,6 +224,7 @@ class NuScenesExpert(nn.Module):
     bbox_dim: int = 7
     num_classes: int = 10
     dtype: Dtype = jnp.float32
+    remat: bool = False  # per-block activation checkpointing in the backbone
 
     @property
     def fusion_dim(self) -> int:
@@ -236,7 +242,8 @@ class NuScenesExpert(nn.Module):
         lidar: Optional[jnp.ndarray] = batch.get("lidar")
 
         img_feat = ResNet18Backbone(
-            include_pool=True, dtype=self.dtype, name="image_backbone"
+            include_pool=True, dtype=self.dtype, remat=self.remat,
+            name="image_backbone"
         )(image, train=train)  # [B,512]
         img_feat = nn.Dense(256, dtype=self.dtype, name="image_projection")(img_feat)
 

@@ -24,8 +24,11 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
 
+    # `train` is positional (no keyword-only star): the backbone's remat
+    # path lifts this module through nn.remat with static_argnums, which
+    # indexes positional args only
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         norm = lambda name: TorchBatchNorm(  # noqa: E731
             use_running_average=not train,
             momentum=0.9,
@@ -75,6 +78,14 @@ class ResNet18Backbone(nn.Module):
 
     include_pool: bool = False
     dtype: Dtype = jnp.float32
+    # rematerialisation: checkpoint each BasicBlock so the backward
+    # recomputes one block at a time instead of holding the whole
+    # stack's activations (the TPU HBM/FLOPs trade; train/step.py's
+    # remat notes explain why per-block, not whole-loss). nn.remat is a
+    # name-preserving lifted transform: the param/batch_stats tree is
+    # IDENTICAL with remat on or off (torchvision import + parity
+    # tests unaffected).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -98,14 +109,19 @@ class ResNet18Backbone(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        Block = (
+            nn.remat(BasicBlock, static_argnums=(2,))  # 0=self, 2=train
+            if self.remat
+            else BasicBlock
+        )
         for stage, (filters, stride) in enumerate(
             [(64, 1), (128, 2), (256, 2), (512, 2)], start=1
         ):
-            x = BasicBlock(filters, stride, self.dtype, name=f"layer{stage}_0")(
-                x, train=train
+            x = Block(filters, stride, self.dtype, name=f"layer{stage}_0")(
+                x, train
             )
-            x = BasicBlock(filters, 1, self.dtype, name=f"layer{stage}_1")(
-                x, train=train
+            x = Block(filters, 1, self.dtype, name=f"layer{stage}_1")(
+                x, train
             )
 
         if self.include_pool:

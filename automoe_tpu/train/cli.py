@@ -81,6 +81,13 @@ def _add_common(p: argparse.ArgumentParser):
                         "axis) over 'model' (parallel/tp.py); 0 = off; "
                         "needs --model-axis > 1; exclusive with "
                         "--spatial")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialisation: checkpoint each backbone "
+                        "block (nn.remat) — the backward recomputes one "
+                        "block at a time instead of holding the whole "
+                        "stack's activations (~1 extra fwd of FLOPs for "
+                        "stack-sized activation HBM); for batches/"
+                        "resolutions that don't fit otherwise")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--coordinator", default=None,
@@ -206,7 +213,7 @@ def cmd_bdd(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
-        matcher=args.matcher,
+        matcher=args.matcher, remat=args.remat,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -229,7 +236,7 @@ def cmd_finetune_carla(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
-        matcher=args.matcher,
+        matcher=args.matcher, remat=args.remat,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -251,6 +258,7 @@ def cmd_nuscenes(args):
         bbox_loss_weight=args.bbox_loss_weight,
         dtype=_dtype(args),
         matcher=args.matcher,
+        remat=args.remat,
     )
     mesh = _mesh(args)
     train, val = _loaders(
@@ -265,7 +273,7 @@ def cmd_nuscenes_2d(args):
     wl = W.carla_nuscenes_2d_workload(
         num_queries=args.num_queries, image_size=args.image_size,
         box_cap=args.box_cap, bbox_loss_weight=args.bbox_loss_weight,
-        dtype=_dtype(args),
+        dtype=_dtype(args), remat=args.remat,
     )
     mesh = _mesh(args)
     train, val = _loaders(get_carla_detection_loader, args, box_cap=args.box_cap)
@@ -275,6 +283,9 @@ def cmd_nuscenes_2d(args):
 def cmd_policy(args):
     from automoe_tpu.data import get_carla_sequence_loader
 
+    if args.remat:
+        print("[cli] --remat: no effect for policy (EasyBackbone is 4 "
+              "convs; nothing worth checkpointing)")
     wl = W.policy_workload(
         horizon=args.horizon, context_dim=args.context_dim,
         image_size=args.image_size, dtype=_dtype(args),
@@ -304,6 +315,9 @@ def cmd_gating(args):
         else default_model_config()
     )
     loss_cfg = json.loads(args.loss_config) if args.loss_config else {}
+    if args.remat:
+        print("[cli] --remat: no effect for gating (experts run frozen "
+              "in eval mode; the backward never crosses the backbones)")
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 

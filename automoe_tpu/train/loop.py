@@ -175,7 +175,7 @@ class Trainer:
         )
         self.scan_train_step = (
             make_scan_train_step(
-                workload.loss_fn, mesh=mesh, state_sharding=state_sh
+                loss_fn, mesh=mesh, state_sharding=state_sh
             )
             if config.steps_per_call > 1
             else None

@@ -110,16 +110,23 @@ def bdd_expert_workload(
     cost_giou: float = 2.0,
     matcher: Optional[str] = None,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
     CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
-    workload over a different data source."""
+    workload over a different data source.
+
+    remat=True checkpoints each backbone BasicBlock (nn.remat inside
+    ResNet18Backbone): the backward recomputes one block at a time
+    instead of holding the whole stack's activations — the TPU HBM/FLOPs
+    trade for batches/resolutions that don't otherwise fit. Same param
+    tree, same math (tests/test_remat.py)."""
     defaults = {"detection": 10, "segmentation": 19, "drivable": 3}
     C = num_classes if num_classes is not None else defaults[task]
     matcher = matcher or default_matcher()
 
     if task == "detection":
-        model = BDDDetectionExpert(num_classes=C, dtype=dtype)
+        model = BDDDetectionExpert(num_classes=C, dtype=dtype, remat=remat)
 
         def loss_fn(params, batch_stats, batch, rng, train):
             out, new_stats = _apply(
@@ -162,9 +169,9 @@ def bdd_expert_workload(
         }
     else:
         model = (
-            BDDSegmentationExpert(num_classes=C, dtype=dtype)
+            BDDSegmentationExpert(num_classes=C, dtype=dtype, remat=remat)
             if task == "segmentation"
-            else BDDDrivableExpert(num_classes=C, dtype=dtype)
+            else BDDDrivableExpert(num_classes=C, dtype=dtype, remat=remat)
         )
 
         def loss_fn(params, batch_stats, batch, rng, train):
@@ -210,6 +217,7 @@ def nuscenes_workload(
     bbox_loss_weight: float = 5.0,
     matcher: Optional[str] = None,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> Workload:
     matcher = matcher or default_matcher()
     model = NuScenesExpert(
@@ -219,6 +227,7 @@ def nuscenes_workload(
         use_tnet=use_tnet,
         bbox_dim=bbox_dim,
         dtype=dtype,
+        remat=remat,
     )
 
     def loss_fn(params, batch_stats, batch, rng, train):
@@ -267,6 +276,7 @@ def carla_nuscenes_2d_workload(
     box_cap: int = 48,
     bbox_loss_weight: float = 1.0,
     dtype=jnp.float32,
+    remat: bool = False,
 ) -> Workload:
     from automoe_tpu.models.experts import NuScenesImage2DHead
     from automoe_tpu.losses.detection import scatter_matched_targets
@@ -274,7 +284,10 @@ def carla_nuscenes_2d_workload(
     from automoe_tpu.ops.masked import masked_cross_entropy, masked_smooth_l1
     from automoe_tpu.ops.matching import hungarian_match
 
-    model = NuScenesImage2DHead(num_queries=num_queries, num_classes=num_classes, dtype=dtype)
+    model = NuScenesImage2DHead(
+        num_queries=num_queries, num_classes=num_classes, dtype=dtype,
+        remat=remat,
+    )
 
     def loss_fn(params, batch_stats, batch, rng, train):
         out, new_stats = _apply(
