@@ -109,6 +109,13 @@ def _add_common(p: argparse.ArgumentParser):
                    help="K>1 scans K optimizer steps per jitted dispatch "
                         "(one stacked H2D + one fetch per K steps; K "
                         "batches of HBM for inputs)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="K>1 accumulates gradients over K loader batches "
+                        "and applies their average as ONE optimizer step "
+                        "(effective batch K x batch-size with one "
+                        "microbatch of activations live — composes with "
+                        "--remat for memory; BN normalizes per microbatch, "
+                        "torch grad-accum semantics)")
 
 
 def _init_backend(args):
@@ -172,6 +179,7 @@ def _train_cfg(args) -> TrainConfig:
         resume_from=args.resume_from,
         max_inflight=getattr(args, "max_inflight", 2),
         steps_per_call=getattr(args, "steps_per_call", 1),
+        grad_accum=getattr(args, "grad_accum", 1),
         profile_dir=getattr(args, "profile_dir", None),
         save_every_steps=getattr(args, "save_every_steps", 0),
         spatial=getattr(args, "spatial", False),

@@ -79,6 +79,15 @@ class TrainConfig:
     # resume with resume='full', resume_from='step' to continue from the
     # exact batch (the loader's per-epoch shuffle is deterministic).
     save_every_steps: int = 0
+    # K>1 = accumulate gradients over K loader microbatches and apply
+    # their average as ONE optimizer step (effective batch K×loader
+    # batch, only one microbatch of activations live at a time — the
+    # memory lever that composes with --remat). BN normalizes each
+    # microbatch by its own stats (torch grad-accum semantics,
+    # train/step.py::make_grad_accum_train_step). Exclusive with
+    # steps_per_call > 1 and spatial; leftover tail batches run as
+    # plain single steps.
+    grad_accum: int = 1
     # spatial partitioning: shard the image HEIGHT axis over the mesh's
     # 'model' axis (parallel/sp.py) — for frames too large for one
     # chip's HBM at a useful batch. Needs a mesh with model > 1 and H
@@ -180,6 +189,24 @@ class Trainer:
             if config.steps_per_call > 1
             else None
         )
+        if config.grad_accum > 1:
+            if config.steps_per_call > 1:
+                raise ValueError(
+                    "grad_accum > 1 and steps_per_call > 1 are exclusive "
+                    "(both group loader batches into one dispatch)"
+                )
+            if config.spatial:
+                raise ValueError(
+                    "grad_accum > 1 and spatial are exclusive (stacked "
+                    "[K,B,...] microbatch groups keep P('data'))"
+                )
+            from automoe_tpu.train.step import make_grad_accum_train_step
+
+            self.accum_train_step = make_grad_accum_train_step(
+                loss_fn, mesh=mesh, state_sharding=state_sh
+            )
+        else:
+            self.accum_train_step = None
         self.eval_step = make_eval_step(
             loss_fn, mesh=mesh, batch_shardings=batch_sh,
             state_sharding=state_sh,
@@ -227,10 +254,15 @@ class Trainer:
         thread (device_put_fn) so H2D overlaps the previous device step.
         Only applies to our DataLoader; torch-style iterables keep the
         in-loop transfer via _device_batch."""
-        if self.mesh is None or self.cfg.steps_per_call > 1:
-            # scan-steps mode stacks K host batches into one [K,B,...]
-            # transfer itself — per-batch loader-thread H2D would get in
-            # the way (device arrays can't be np.stack'd host-side).
+        if (
+            self.mesh is None
+            or self.cfg.steps_per_call > 1
+            or self.cfg.grad_accum > 1
+        ):
+            # scan-steps / grad-accum modes stack K host batches into one
+            # [K,B,...] transfer themselves — per-batch loader-thread H2D
+            # would get in the way (device arrays can't be np.stack'd
+            # host-side).
             return
         place = self._place
 
@@ -266,13 +298,18 @@ class Trainer:
             return self._place(batch)
         return batch
 
-    def _train_epoch_scan(self, epoch: int) -> float:
-        """steps_per_call>1: group K host batches, stack them, and run K
-        optimizer steps in one jitted lax.scan dispatch. The tail group
-        (fewer than K batches) falls back to single-step dispatches."""
+    def _train_epoch_grouped(
+        self, epoch: int, k: int, dispatch, steps_per_group: int
+    ) -> float:
+        """Shared epoch driver for the two batch-grouping modes: group K
+        host batches, stack them [K,B,...], and hand them to `dispatch`
+        in one jitted call — `steps_per_group` optimizer steps each
+        (steps_per_call mode: a lax.scan of K steps, steps_per_group=K;
+        grad_accum mode: ONE step from the averaged gradients,
+        steps_per_group=1). The tail group (fewer than K batches) falls
+        back to single-step dispatches."""
         from automoe_tpu.parallel.mesh import shard_stacked_batch
 
-        k = self.cfg.steps_per_call
         consumed0, skip_in_loop = self._set_epoch_with_skip(epoch)
         total, n = 0.0, 0
         t0 = time.time()
@@ -293,9 +330,10 @@ class Trainer:
             last_i = i
             if any(isinstance(v, jax.Array) for v in batch.values()):
                 raise ValueError(
-                    "steps_per_call > 1 stacks host batches itself — don't "
-                    "configure the DataLoader with a device_put_fn in scan "
-                    "mode (the Trainer skips installing its own)."
+                    "batch-grouping modes (steps_per_call/grad_accum > 1) "
+                    "stack host batches themselves — don't configure the "
+                    "DataLoader with a device_put_fn here (the Trainer "
+                    "skips installing its own)."
                 )
             group.append(
                 {kk: v for kk, v in batch.items()
@@ -317,20 +355,21 @@ class Trainer:
             if self.mesh is not None:
                 stacked = shard_stacked_batch(stacked, self.mesh)
             self.timer.start()
-            self.state, metrics = self.scan_train_step(
-                self.state, stacked, self.rng
-            )
+            self.state, metrics = dispatch(self.state, stacked, self.rng)
             pending.append(metrics["loss"])
             flush_pending(max(0, self.cfg.max_inflight))
             self.timer.stop()
             self._maybe_save_step(epoch, consumed0 + i + 1)
-            self._host_step += k
+            self._host_step += steps_per_group
             self.logger.heartbeat()
             step = self._host_step
-            if step % self.cfg.log_every < k:
+            if step % self.cfg.log_every < steps_per_group:
                 self.logger.log(
                     step,
-                    {**{kk: float(np.asarray(v)[-1]) for kk, v in metrics.items()},
+                    # scan mode returns stacked [K] metrics (log the
+                    # latest step's); accum mode returns group scalars
+                    {**{kk: float(np.asarray(v).reshape(-1)[-1])
+                        for kk, v in metrics.items()},
                      **self.timer.stats()},
                     prefix="train",
                 )
@@ -399,7 +438,15 @@ class Trainer:
             self.start_batch // s if s and epoch == self.start_epoch else 0
         )
         if self.scan_train_step is not None:
-            return self._train_epoch_scan(epoch)
+            k = self.cfg.steps_per_call
+            return self._train_epoch_grouped(
+                epoch, k, self.scan_train_step, steps_per_group=k
+            )
+        if self.accum_train_step is not None:
+            return self._train_epoch_grouped(
+                epoch, self.cfg.grad_accum, self.accum_train_step,
+                steps_per_group=1,
+            )
         consumed0, skip_in_loop = self._set_epoch_with_skip(epoch)
         total, n = 0.0, 0
         t0 = time.time()

@@ -110,6 +110,86 @@ def make_scan_train_step(
     )
 
 
+def make_grad_accum_train_step(
+    loss_fn: LossFn,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+):
+    """ONE optimizer step from K accumulated microbatch gradients: a
+    `lax.scan` over a stacked [K, mb, ...] batch group sums per-
+    microbatch mean gradients and applies their average once — the
+    effective batch is K×mb with only mb of activations live at a time.
+    The reference has no counterpart (its DDP trainers scale batch only
+    by adding GPUs); combined with `--remat` this is the memory story
+    for batch sizes one chip can't hold.
+
+    Semantics (deliberate, torch-matching): equal-size microbatches make
+    the averaged gradient EXACTLY the full-batch mean gradient, but
+    train-mode BatchNorm normalizes each microbatch by its OWN
+    statistics and updates running stats once per microbatch — the same
+    composition torch users get when they accumulate with BN (and the
+    same as non-sync-BN DP over K devices). Pinned against a manual
+    two-grad average in tests/test_grad_accum.py. The per-microbatch RNG
+    folds in the microbatch index, so dropout draws differ across the
+    group; the fold of state.step keeps whole-group randomness aligned
+    with the single-step path's per-optimizer-step stream."""
+    import jax.numpy as jnp
+
+    def accum_step(state, batches, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        k = jax.tree.leaves(batches)[0].shape[0]
+
+        def micro(params, stats, batch, r):
+            def wrapped(p):
+                return loss_fn(p, stats, batch, r, True)
+
+            (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+                wrapped, has_aux=True
+            )(params)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return grads, metrics, new_stats
+
+        first = jax.tree.map(lambda x: x[0], batches)
+        rest = jax.tree.map(lambda x: x[1:], batches)
+        gsum, msum, stats = micro(
+            state.params, state.batch_stats, first, jax.random.fold_in(rng, 0)
+        )
+
+        def body(carry, xs):
+            stats, gsum, msum = carry
+            batch, idx = xs
+            g, m, new_stats = micro(
+                state.params, stats, batch, jax.random.fold_in(rng, idx)
+            )
+            return (
+                new_stats,
+                jax.tree.map(jnp.add, gsum, g),
+                jax.tree.map(jnp.add, msum, m),
+            ), None
+
+        (stats, gsum, msum), _ = jax.lax.scan(
+            body, (stats, gsum, msum), (rest, jnp.arange(1, k))
+        )
+        grads = jax.tree.map(lambda g: g / k, gsum)
+        metrics = jax.tree.map(lambda m: m / k, msum)
+        new_state = state.apply_gradients(grads, new_batch_stats=stats)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(accum_step, donate_argnums=(0,))
+
+    repl = replicate(mesh)
+    data = stacked_batch_sharding(mesh)
+    state_sh = state_sharding if state_sharding is not None else repl
+    return jax.jit(
+        accum_step,
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(
     loss_fn: LossFn,
     mesh: Optional[Mesh] = None,
