@@ -56,10 +56,11 @@ class BDDDetectionExpert(nn.Module):
     num_classes: int = 10
     dtype: Dtype = jnp.float32
     remat: bool = False  # per-block activation checkpointing in the backbone
+    qat: bool = False  # int8 fake-quant training (models/resnet.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Dict[str, jnp.ndarray]:
-        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, qat=self.qat, name="backbone")(x, train=train)
         out = _ConvHead(self.num_classes + 4, dtype=self.dtype, name="head")(feats)
         return {
             "class_logits": out[..., : self.num_classes],  # [B,H/32,W/32,C]
@@ -83,11 +84,12 @@ class BDDSegmentationExpert(nn.Module):
     num_classes: int = 19
     dtype: Dtype = jnp.float32
     remat: bool = False  # per-block activation checkpointing in the backbone
+    qat: bool = False  # int8 fake-quant training (models/resnet.py)
     upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, qat=self.qat, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
         if not self.upsample:
             return logits  # [B,H/32,W/32,C]
@@ -100,11 +102,12 @@ class BDDDrivableExpert(nn.Module):
     num_classes: int = 3
     dtype: Dtype = jnp.float32
     remat: bool = False  # per-block activation checkpointing in the backbone
+    qat: bool = False  # int8 fake-quant training (models/resnet.py)
     upsample: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, name="backbone")(x, train=train)
+        feats = ResNet18Backbone(dtype=self.dtype, remat=self.remat, qat=self.qat, name="backbone")(x, train=train)
         logits = _ConvHead(self.num_classes, dtype=self.dtype, name="decoder")(feats)
         if not self.upsample:
             return logits
@@ -184,6 +187,7 @@ class NuScenesImage2DHead(nn.Module):
     num_classes: int = 10
     dtype: Dtype = jnp.float32
     remat: bool = False  # per-block activation checkpointing in the backbone
+    qat: bool = False  # int8 fake-quant training (models/resnet.py)
 
     @nn.compact
     def __call__(
@@ -192,7 +196,7 @@ class NuScenesImage2DHead(nn.Module):
     ) -> Dict[str, jnp.ndarray]:
         feat = ResNet18Backbone(
             include_pool=True, dtype=self.dtype, remat=self.remat,
-            name="image_backbone"
+            qat=self.qat, name="image_backbone"
         )(image, train=train)
         feat = nn.Dense(256, dtype=self.dtype, name="image_projection")(feat)
         queries = self.param(
@@ -225,6 +229,7 @@ class NuScenesExpert(nn.Module):
     num_classes: int = 10
     dtype: Dtype = jnp.float32
     remat: bool = False  # per-block activation checkpointing in the backbone
+    qat: bool = False  # int8 fake-quant training (models/resnet.py)
 
     @property
     def fusion_dim(self) -> int:
@@ -243,7 +248,7 @@ class NuScenesExpert(nn.Module):
 
         img_feat = ResNet18Backbone(
             include_pool=True, dtype=self.dtype, remat=self.remat,
-            name="image_backbone"
+            qat=self.qat, name="image_backbone"
         )(image, train=train)  # [B,512]
         img_feat = nn.Dense(256, dtype=self.dtype, name="image_projection")(img_feat)
 

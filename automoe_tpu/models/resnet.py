@@ -19,10 +19,28 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+class QATConv(nn.Conv):
+    """nn.Conv whose kernel is fake-quantized on READ (straight-through
+    estimator, ops/fake_quant.py): the stored param stays float — the
+    param tree is identical to nn.Conv's, so checkpoints, torchvision
+    import, and the PTQ export path are unaffected — but every forward
+    (train AND eval) sees the int8 per-output-channel grid the serving
+    path will deploy."""
+
+    def param(self, name, *args, **kwargs):
+        p = super().param(name, *args, **kwargs)
+        if name == "kernel":
+            from automoe_tpu.ops.fake_quant import fake_quant_weight
+
+            p = fake_quant_weight(p)
+        return p
+
+
 class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    qat: bool = False  # int8 fake-quant on conv weights + inputs
 
     # `train` is positional (no keyword-only star): the backbone's remat
     # path lifts this module through nn.remat with static_argnums, which
@@ -36,8 +54,13 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             name=name,
         )
+        Conv = QATConv if self.qat else nn.Conv
+        if self.qat:
+            from automoe_tpu.ops.fake_quant import fake_quant_act as fq
+        else:
+            fq = lambda t: t  # noqa: E731
         residual = x
-        y = nn.Conv(
+        y = Conv(
             self.filters,
             (3, 3),
             strides=(self.stride, self.stride),
@@ -45,26 +68,26 @@ class BasicBlock(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             name="conv1",
-        )(x)
+        )(fq(x))
         y = nn.relu(norm("bn1")(y))
-        y = nn.Conv(
+        y = Conv(
             self.filters,
             (3, 3),
             padding=((1, 1), (1, 1)),
             use_bias=False,
             dtype=self.dtype,
             name="conv2",
-        )(y)
+        )(fq(y))
         y = norm("bn2")(y)
         if residual.shape[-1] != self.filters or self.stride != 1:
-            residual = nn.Conv(
+            residual = Conv(
                 self.filters,
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
                 dtype=self.dtype,
                 name="downsample_conv",
-            )(x)
+            )(fq(x))
             residual = norm("downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -86,6 +109,13 @@ class ResNet18Backbone(nn.Module):
     # IDENTICAL with remat on or off (torchvision import + parity
     # tests unaffected).
     remat: bool = False
+    # QAT: fake-quantize block conv weights (per-output-channel int8)
+    # and conv inputs (per-tensor int8) with the straight-through
+    # estimator so training optimizes against the grid the int8 serving
+    # path deploys (ops/fake_quant.py explains why the grids match
+    # after BN folding). The stem conv stays float, mirroring
+    # serving/quant.py's DEFAULT_FLOAT_CONVS. Param tree unchanged.
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -117,12 +147,14 @@ class ResNet18Backbone(nn.Module):
         for stage, (filters, stride) in enumerate(
             [(64, 1), (128, 2), (256, 2), (512, 2)], start=1
         ):
-            x = Block(filters, stride, self.dtype, name=f"layer{stage}_0")(
-                x, train
-            )
-            x = Block(filters, 1, self.dtype, name=f"layer{stage}_1")(
-                x, train
-            )
+            x = Block(
+                filters, stride, self.dtype, qat=self.qat,
+                name=f"layer{stage}_0",
+            )(x, train)
+            x = Block(
+                filters, 1, self.dtype, qat=self.qat,
+                name=f"layer{stage}_1",
+            )(x, train)
 
         if self.include_pool:
             x = jnp.mean(x, axis=(1, 2))  # global average pool → [B, 512]

@@ -88,6 +88,13 @@ def _add_common(p: argparse.ArgumentParser):
                         "stack's activations (~1 extra fwd of FLOPs for "
                         "stack-sized activation HBM); for batches/"
                         "resolutions that don't fit otherwise")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: fake-quantize "
+                        "backbone conv weights (per-channel int8) and "
+                        "inputs (per-tensor int8) with the straight-"
+                        "through estimator, so the model trains against "
+                        "the grid the int8 serving path deploys "
+                        "(ops/fake_quant.py; stem stays float)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first")
     p.add_argument("--coordinator", default=None,
@@ -221,7 +228,7 @@ def cmd_bdd(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
-        matcher=args.matcher, remat=args.remat,
+        matcher=args.matcher, remat=args.remat, qat=args.qat,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -244,7 +251,7 @@ def cmd_finetune_carla(args):
     wl = W.bdd_expert_workload(
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
-        matcher=args.matcher, remat=args.remat,
+        matcher=args.matcher, remat=args.remat, qat=args.qat,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
@@ -267,6 +274,7 @@ def cmd_nuscenes(args):
         dtype=_dtype(args),
         matcher=args.matcher,
         remat=args.remat,
+        qat=args.qat,
     )
     mesh = _mesh(args)
     train, val = _loaders(
@@ -281,7 +289,7 @@ def cmd_nuscenes_2d(args):
     wl = W.carla_nuscenes_2d_workload(
         num_queries=args.num_queries, image_size=args.image_size,
         box_cap=args.box_cap, bbox_loss_weight=args.bbox_loss_weight,
-        dtype=_dtype(args), remat=args.remat,
+        dtype=_dtype(args), remat=args.remat, qat=args.qat,
     )
     mesh = _mesh(args)
     train, val = _loaders(get_carla_detection_loader, args, box_cap=args.box_cap)

@@ -111,6 +111,7 @@ def bdd_expert_workload(
     matcher: Optional[str] = None,
     dtype=jnp.float32,
     remat: bool = False,
+    qat: bool = False,
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
     CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
@@ -126,7 +127,9 @@ def bdd_expert_workload(
     matcher = matcher or default_matcher()
 
     if task == "detection":
-        model = BDDDetectionExpert(num_classes=C, dtype=dtype, remat=remat)
+        model = BDDDetectionExpert(
+            num_classes=C, dtype=dtype, remat=remat, qat=qat
+        )
 
         def loss_fn(params, batch_stats, batch, rng, train):
             out, new_stats = _apply(
@@ -169,9 +172,13 @@ def bdd_expert_workload(
         }
     else:
         model = (
-            BDDSegmentationExpert(num_classes=C, dtype=dtype, remat=remat)
+            BDDSegmentationExpert(
+                num_classes=C, dtype=dtype, remat=remat, qat=qat
+            )
             if task == "segmentation"
-            else BDDDrivableExpert(num_classes=C, dtype=dtype, remat=remat)
+            else BDDDrivableExpert(
+                num_classes=C, dtype=dtype, remat=remat, qat=qat
+            )
         )
 
         def loss_fn(params, batch_stats, batch, rng, train):
@@ -218,6 +225,7 @@ def nuscenes_workload(
     matcher: Optional[str] = None,
     dtype=jnp.float32,
     remat: bool = False,
+    qat: bool = False,
 ) -> Workload:
     matcher = matcher or default_matcher()
     model = NuScenesExpert(
@@ -228,6 +236,7 @@ def nuscenes_workload(
         bbox_dim=bbox_dim,
         dtype=dtype,
         remat=remat,
+        qat=qat,
     )
 
     def loss_fn(params, batch_stats, batch, rng, train):
@@ -277,6 +286,7 @@ def carla_nuscenes_2d_workload(
     bbox_loss_weight: float = 1.0,
     dtype=jnp.float32,
     remat: bool = False,
+    qat: bool = False,
 ) -> Workload:
     from automoe_tpu.models.experts import NuScenesImage2DHead
     from automoe_tpu.losses.detection import scatter_matched_targets
@@ -286,7 +296,7 @@ def carla_nuscenes_2d_workload(
 
     model = NuScenesImage2DHead(
         num_queries=num_queries, num_classes=num_classes, dtype=dtype,
-        remat=remat,
+        remat=remat, qat=qat,
     )
 
     def loss_fn(params, batch_stats, batch, rng, train):
