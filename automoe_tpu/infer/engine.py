@@ -35,6 +35,7 @@ class InferenceEngine:
         seed: int = 0,
         quantize: bool = False,
         calib_frames: Optional[np.ndarray] = None,
+        mesh=None,
     ):
         """quantize=True swaps the expert trunks to the int8 PTQ serving
         path (automoe_tpu/serving/quant.py; ~1.37x throughput on v5e,
@@ -42,7 +43,17 @@ class InferenceEngine:
         uint8 camera frames [N,H,W,3] for activation calibration —
         STRONGLY prefer real frames; the fallback is uniform-random noise
         frames, which cover activation ranges far better than any constant
-        image but are still not your data distribution."""
+        image but are still not your data distribution.
+
+        mesh: a jax.sharding.Mesh with a 'data' axis scales serving out
+        over chips — variables replicate, batches shard P('data'), the
+        whole preprocess+forward runs SPMD with zero collectives on the
+        forward path (throughput × data-axis for batch serving; the
+        reference can only replicate whole processes). Batches whose B
+        isn't a multiple of the axis are repeat-padded internally and
+        sliced back, so callers (and the TCP batcher's bucket ladder)
+        need no changes; `batch_multiple` exposes the axis size for
+        ladder tuning."""
         self.config = load_model_config(model_config)
         # the engine returns control outputs only → the exact-equivalent
         # fast gating pool (no full-res seg map materialisation)
@@ -126,7 +137,33 @@ class InferenceEngine:
                 "expert_weights": out["expert_weights"].astype(jnp.float32),
             }
 
-        self._step = jax.jit(step)
+        self.mesh = mesh
+        self.batch_multiple = 1
+        if mesh is None:
+            self._step = jax.jit(step)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.batch_multiple = int(dict(mesh.shape).get("data", 1))
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            self._step = jax.jit(
+                step,
+                in_shardings=(repl, repl, repl, bsh, bsh),
+                out_shardings=bsh,
+            )
+
+    def _pad_group(self, frames: np.ndarray, speeds: np.ndarray):
+        """Repeat-pad a batch up to a multiple of the mesh 'data' axis
+        (identity when unmeshed); returns (frames, speeds, real_b)."""
+        b = frames.shape[0]
+        m = self.batch_multiple
+        if m <= 1 or b % m == 0:
+            return frames, speeds, b
+        pad = (-b) % m
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, 0)])
+        speeds = np.concatenate([speeds, np.repeat(speeds[-1:], pad, 0)])
+        return frames, speeds, b
 
     @classmethod
     def from_orbax_checkpoint(cls, model_config, ckpt_dir: str, *,
@@ -174,12 +211,7 @@ class InferenceEngine:
         """frame_u8 [H,W,3] or [1,H,W,3] uint8 → host numpy outputs."""
         if frame_u8.ndim == 3:
             frame_u8 = frame_u8[None]
-        speed = jnp.asarray([[last_speed_kmh]], jnp.float32)
-        out = self._step(
-            self.variables, self._qexperts, self._mats_dev,
-            jnp.asarray(frame_u8), speed,
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        return self.infer_batch(frame_u8, np.asarray([last_speed_kmh]))
 
     def infer_batch(
         self, frames_u8: np.ndarray, speeds_kmh: np.ndarray
@@ -195,8 +227,11 @@ class InferenceEngine:
                 f"batch mismatch: {frames_u8.shape[0]} frames vs "
                 f"{speeds.shape[0]} speeds"
             )
+        frames_u8, speeds, real_b = self._pad_group(
+            np.asarray(frames_u8), speeds
+        )
         out = self._step(
             self.variables, self._qexperts, self._mats_dev,
             jnp.asarray(frames_u8), jnp.asarray(speeds),
         )
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v)[:real_b] for k, v in out.items()}

@@ -25,6 +25,12 @@ def build_engine(args):
     import jax.numpy as jnp
 
     if args.bundle:
+        if args.data_parallel:
+            raise SystemExit(
+                "--data-parallel needs a live model (the bundle's "
+                "StableHLO artifacts are compiled single-chip) — use "
+                "--checkpoint/--model-config"
+            )
         from automoe_tpu.serving.export import ArtifactEngine
 
         return ArtifactEngine(args.bundle)
@@ -39,6 +45,10 @@ def build_engine(args):
         dtype=jnp.bfloat16 if not args.fp32 else jnp.float32,
         quantize=args.quantize,
     )
+    if args.data_parallel:
+        from automoe_tpu.parallel import MeshSpec, make_mesh
+
+        kw["mesh"] = make_mesh(MeshSpec(data=-1, model=1))
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         return InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint, **kw)
     if args.checkpoint:
@@ -66,6 +76,13 @@ def main(argv: Optional[Sequence[str]] = None, block: bool = True):
     p.add_argument("--port", type=int, default=8471)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard serving batches over ALL devices (a "
+                        "'data' mesh): params replicate, each request "
+                        "batch splits across chips — linear scale-out "
+                        "for batch serving. Sub-multiple batches are "
+                        "repeat-padded inside the engine; size --max-"
+                        "batch to a multiple of the device count")
     args = p.parse_args(argv)
 
     from automoe_tpu.serving.server import BatchingServer, serve_tcp
