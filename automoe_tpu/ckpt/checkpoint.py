@@ -36,7 +36,7 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
 
     def _payload(self, state, epoch: int, config: Optional[Dict]) -> Dict[str, Any]:
-        return {
+        payload = {
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
             "params": _to_host(state.params),
@@ -44,6 +44,9 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "best_val_loss": np.asarray(self.best_val, np.float64),
         }
+        if getattr(state, "ema_params", None) is not None:
+            payload["ema_params"] = _to_host(state.ema_params)
+        return payload
 
     @staticmethod
     def _sync(tag: str) -> None:
@@ -149,15 +152,24 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "best_val_loss": np.asarray(0.0, np.float64),
         }
+        has_ema = getattr(state, "ema_params", None) is not None
+        if has_ema:
+            # EMA-on restore needs an EMA-on checkpoint: the field is part
+            # of the saved payload whenever it was part of the state
+            template["ema_params"] = _to_host(state.ema_params)
         if which == "step":
             template["batch_index"] = np.asarray(0)
         payload = self._ckptr.restore(path, template)
         self.last_restore_loaded = True
         self.best_val = float(payload["best_val_loss"])
         epoch = int(payload["epoch"])
+        ema_kw = (
+            {"ema_params": payload["ema_params"]} if has_ema else {}
+        )
         if mode == "model":
             state = state.replace(
-                params=payload["params"], batch_stats=payload["batch_stats"]
+                params=payload["params"], batch_stats=payload["batch_stats"],
+                **ema_kw,
             )
         else:
             state = state.replace(
@@ -165,19 +177,27 @@ class CheckpointManager:
                 params=payload["params"],
                 batch_stats=payload["batch_stats"],
                 opt_state=payload["opt_state"],
+                **ema_kw,
             )
         if which == "step":
             return state, epoch, int(payload["batch_index"])
         return state, epoch
 
 
-def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+def load_variables(
+    path: str, template: Dict[str, Any], *, prefer_ema: bool = False
+) -> Dict[str, Any]:
     """Restore only {params, batch_stats} from a checkpoint dir (for eval /
     expert-loading into AutoMoE). The checkpoint also stores
     step/opt_state/epoch/best_val_loss, which this template deliberately
-    omits — PyTreeRestore(partial_restore=True) restores the subset."""
+    omits — PyTreeRestore(partial_restore=True) restores the subset.
+
+    prefer_ema=True loads the EMA weights (checkpoints written by a run
+    with --ema-decay) into the 'params' slot — the deploy-side weights.
+    Raises KeyError if the checkpoint has no 'ema_params'."""
+    key = "ema_params" if prefer_ema else "params"
     host_t = {
-        "params": _to_host(template["params"]),
+        key: _to_host(template["params"]),
         "batch_stats": _to_host(template.get("batch_stats", {})),
     }
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -185,4 +205,4 @@ def load_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
             Path(path).resolve(),
             args=ocp.args.PyTreeRestore(item=host_t, partial_restore=True),
         )
-    return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    return {"params": restored[key], "batch_stats": restored["batch_stats"]}

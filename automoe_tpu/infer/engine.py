@@ -168,12 +168,16 @@ class InferenceEngine:
     @classmethod
     def from_orbax_checkpoint(cls, model_config, ckpt_dir: str, *,
                               model_hw: Tuple[int, int] = (256, 256),
-                              dtype=jnp.bfloat16, seed: int = 0, **kw):
+                              dtype=jnp.bfloat16, seed: int = 0,
+                              prefer_ema: bool = False, **kw):
         """Serve from a trainer-written orbax checkpoint dir (best/last/
         epoch_N): init a variable template, partial-restore
         {params, batch_stats} over it, and build the engine from the
         restored tree — BEFORE any int8 calibration, so quantize=True
-        calibrates the trained weights."""
+        calibrates the trained weights.
+
+        prefer_ema=True serves the EMA weights saved by a --ema-decay run
+        (KeyError if the checkpoint has none)."""
         from automoe_tpu.ckpt.checkpoint import load_variables
         from automoe_tpu.utils import jit_init
 
@@ -188,7 +192,7 @@ class InferenceEngine:
             "brake": jnp.zeros((1, 1), dtype),
         }
         template = jit_init(model, jax.random.key(seed), init_batch)
-        variables = load_variables(ckpt_dir, template)
+        variables = load_variables(ckpt_dir, template, prefer_ema=prefer_ema)
         return cls(model_config, variables=variables, model_hw=model_hw,
                    dtype=dtype, seed=seed, **kw)
 

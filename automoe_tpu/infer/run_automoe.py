@@ -147,6 +147,9 @@ def main(argv=None):
     p.add_argument("--export-gif", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 PTQ expert trunks (serving/quant.py)")
+    p.add_argument("--ema", action="store_true",
+                   help="use the EMA weights from a --ema-decay run's "
+                        "orbax checkpoint")
     p.add_argument("--backend", choices=["auto", "mock", "carla"], default="auto")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=2000)
@@ -157,10 +160,15 @@ def main(argv=None):
 
     cfg = args.model_config or default_model_config()
     kw = {"quantize": args.quantize}
+    if args.ema and (not args.checkpoint or args.checkpoint.endswith(".pth")):
+        raise SystemExit("--ema needs an orbax checkpoint written by a "
+                         "--ema-decay training run")
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         engine = InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint, **kw)
     elif args.checkpoint:  # orbax dir written by the trainer
-        engine = InferenceEngine.from_orbax_checkpoint(cfg, args.checkpoint, **kw)
+        engine = InferenceEngine.from_orbax_checkpoint(
+            cfg, args.checkpoint, prefer_ema=args.ema, **kw
+        )
     else:
         engine = InferenceEngine(cfg, **kw)
 

@@ -25,6 +25,11 @@ def build_engine(args):
     import jax.numpy as jnp
 
     if args.bundle:
+        if args.ema:
+            raise SystemExit(
+                "--ema applies at export time for bundles: pass "
+                "prefer_ema when building the bundle's engine instead"
+            )
         if args.data_parallel:
             raise SystemExit(
                 "--data-parallel needs a live model (the bundle's "
@@ -50,12 +55,17 @@ def build_engine(args):
 
         kw["mesh"] = make_mesh(MeshSpec(data=-1, model=1))
     if args.checkpoint and args.checkpoint.endswith(".pth"):
+        if args.ema:
+            raise SystemExit("--ema needs an orbax checkpoint written by "
+                             "a --ema-decay training run (not a .pth)")
         return InferenceEngine.from_torch_checkpoint(cfg, args.checkpoint, **kw)
     if args.checkpoint:
         quantize = kw.pop("quantize")
         return InferenceEngine.from_orbax_checkpoint(
-            cfg, args.checkpoint, quantize=quantize, **kw
+            cfg, args.checkpoint, quantize=quantize, prefer_ema=args.ema, **kw
         )
+    if args.ema:
+        raise SystemExit("--ema needs --checkpoint")
     return InferenceEngine(cfg, **kw)
 
 
@@ -69,6 +79,9 @@ def main(argv: Optional[Sequence[str]] = None, block: bool = True):
                    help="orbax checkpoint dir or reference .pth")
     p.add_argument("--quantize", action="store_true",
                    help="int8 PTQ expert trunks (serving/quant.py)")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the EMA weights from a --ema-decay run's "
+                        "orbax checkpoint (the deploy-side weights)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--camera-hw", type=int, nargs=2, default=(600, 800))
     p.add_argument("--model-hw", type=int, nargs=2, default=(256, 256))

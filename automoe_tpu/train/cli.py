@@ -123,6 +123,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "microbatch of activations live — composes with "
                         "--remat for memory; BN normalizes per microbatch, "
                         "torch grad-accum semantics)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="d>0 tracks an EMA of params (updated inside the "
+                        "jitted step), validates it per epoch (val_ema), "
+                        "uses it for the best-checkpoint decision, and "
+                        "saves it in checkpoints for automoe-serve --ema. "
+                        "Typical: 0.999")
 
 
 def _init_backend(args):
@@ -191,6 +197,7 @@ def _train_cfg(args) -> TrainConfig:
         save_every_steps=getattr(args, "save_every_steps", 0),
         spatial=getattr(args, "spatial", False),
         tp_min_dim=getattr(args, "tp_min_dim", 0),
+        ema_decay=getattr(args, "ema_decay", 0.0),
     )
 
 

@@ -97,6 +97,13 @@ class TrainConfig:
     # divisible by the 'model' axis) over 'model' (parallel/tp.py).
     # 0 = off. Exclusive with spatial (both consume the 'model' axis).
     tp_min_dim: int = 0
+    # d>0 keeps an exponential moving average of params (ema = d*ema +
+    # (1-d)*params per optimizer step, fused into the train step). The
+    # EMA weights are validated each epoch ('val_ema' metrics), drive the
+    # best-checkpoint decision, land in every checkpoint ('ema_params'),
+    # and deploy via load_variables(prefer_ema=True) / automoe-serve
+    # --ema. Typical: 0.999. The reference has no counterpart.
+    ema_decay: float = 0.0
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -135,6 +142,7 @@ class Trainer:
             params=variables["params"],
             tx=tx,
             batch_stats=variables.get("batch_stats", {}),
+            ema_decay=config.ema_decay,
         )
         if config.spatial:
             if mesh is None or dict(mesh.shape).get("model", 1) < 2:
@@ -495,12 +503,20 @@ class Trainer:
         data = dict(self.mesh.shape).get("data", 1)
         return real % data == 0
 
-    def validate(self, epoch: int) -> float:
+    def validate(self, epoch: int, *, use_ema: bool = False,
+                 prefix: str = "val") -> float:
         """Validation epoch: loss + every scalar loss metric + optional
         per-batch task metrics (avg-IoU/recall, pixel-acc/mIoU — reference
         train_bdd100k_ddp.py:196-375), averaged over batches and summed
         exactly across processes before the best-checkpoint decision
-        (reference all-reduces [loss, count], :377-397)."""
+        (reference all-reduces [loss, count], :377-397).
+
+        use_ema=True evaluates the EMA weights instead (same eval_step
+        program — the state pytree keeps its structure, only params points
+        at ema_params; logged under `prefix`)."""
+        state = self.state
+        if use_ema:
+            state = state.replace(params=state.ema_params)
         sums: Dict[str, float] = {}
         n = 0.0
         for batch in self.val_loader:
@@ -531,9 +547,9 @@ class Trainer:
             else:
                 w = 1.0
             self.logger.heartbeat()
-            metrics = self.eval_step(self.state, db, self.rng)
+            metrics = self.eval_step(state, db, self.rng)
             if self.metrics_step is not None:
-                metrics = {**metrics, **self.metrics_step(self.state, db)}
+                metrics = {**metrics, **self.metrics_step(state, db)}
             for k, v in metrics.items():
                 if getattr(v, "ndim", 1) == 0 or isinstance(v, (int, float)):
                     sums[k] = sums.get(k, 0.0) + float(v) * w
@@ -541,7 +557,7 @@ class Trainer:
         sums, n = _allreduce_val_sums(sums, n)
         denom = n if n > 0 else 1.0  # n can be a fractional weighted count
         avg = {k: v / denom for k, v in sums.items()}
-        self.logger.log(self._host_step, avg, prefix="val")
+        self.logger.log(self._host_step, avg, prefix=prefix)
         return avg.get("loss", float("inf"))
 
     def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:
@@ -554,13 +570,19 @@ class Trainer:
                     train_loss = self.train_epoch(epoch)
             else:
                 train_loss = self.train_epoch(epoch)
-            val_loss = self.validate(epoch)
+            raw_val = self.validate(epoch)
+            val_loss, ema_note = raw_val, ""
+            if self.state.ema_params is not None:
+                # the EMA weights are what a run with --ema-decay deploys,
+                # so THEY drive the is-best decision (raw val still logged)
+                val_loss = self.validate(epoch, use_ema=True, prefix="val_ema")
+                ema_note = f" ema {val_loss:.4f}"
             is_best = self.ckpt.save_epoch(self.state, epoch, val_loss, config_dump)
             best = min(best, val_loss)
             if jax.process_index() == 0:
                 print(
                     f"[{self.wl.name}] epoch {epoch + 1}/{self.cfg.epochs} "
-                    f"train {train_loss:.4f} val {val_loss:.4f}"
+                    f"train {train_loss:.4f} val {raw_val:.4f}" + ema_note
                     + (" *best*" if is_best else "")
                 )
         self.logger.close()

@@ -21,21 +21,40 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # exponential moving average of params (the deploy-side weights in
+    # production training; the reference has no counterpart). None = off.
+    # The update lives INSIDE apply_gradients so every stepping mode
+    # (single, lax.scan of steps, grad-accum) gets it fused into the same
+    # XLA program — no extra dispatch, and on a mesh the (replicated)
+    # EMA update is element-wise local, no collectives.
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads, new_batch_stats=None):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            # initialized AT params (create()), so no zero-bias correction
+            # is needed (torch/timm ModelEma semantics)
+            new_ema = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema,
+                new_params,
+            )
         return self.replace(
             step=self.step + 1,
             params=new_params,
             opt_state=new_opt_state,
+            ema_params=new_ema,
             batch_stats=(
                 new_batch_stats if new_batch_stats is not None else self.batch_stats
             ),
         )
 
     @classmethod
-    def create(cls, *, params, tx, batch_stats=None):
+    def create(cls, *, params, tx, batch_stats=None, ema_decay: float = 0.0):
         import jax.numpy as jnp
 
         return cls(
@@ -44,6 +63,15 @@ class TrainState(struct.PyTreeNode):
             batch_stats=batch_stats if batch_stats is not None else {},
             opt_state=tx.init(params),
             tx=tx,
+            ema_params=(
+                # a REAL copy: ema must not alias the params buffers (the
+                # train steps donate the whole state; aliased donated
+                # inputs are undefined)
+                jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+                if ema_decay > 0.0
+                else None
+            ),
+            ema_decay=float(ema_decay),
         )
 
 
