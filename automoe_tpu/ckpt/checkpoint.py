@@ -122,6 +122,14 @@ class CheckpointManager:
 
     # -- restore ------------------------------------------------------------
 
+    def _disk_has(self, path, key: str) -> bool:
+        """Whether the checkpoint's saved tree has a top-level `key`."""
+        try:
+            tree = self._ckptr.metadata(path).item_metadata.tree
+            return key in tree
+        except Exception:
+            return False
+
     def restore(
         self, state, which: str = "best", mode: str = "full"
     ):
@@ -152,20 +160,28 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "best_val_loss": np.asarray(0.0, np.float64),
         }
+        # EMA presence may differ between the checkpoint and this run
+        # (orbax's StandardCheckpointer requires template ≡ disk tree):
+        #   disk has ema, run doesn't  → restore it into a throwaway slot
+        #   run wants ema, disk hasn't → seed the EMA at the restored
+        #     params (EMA semantics: initialized AT params, train/state.py)
         has_ema = getattr(state, "ema_params", None) is not None
-        if has_ema:
-            # EMA-on restore needs an EMA-on checkpoint: the field is part
-            # of the saved payload whenever it was part of the state
-            template["ema_params"] = _to_host(state.ema_params)
+        disk_has_ema = self._disk_has(path, "ema_params")
+        if disk_has_ema:
+            template["ema_params"] = _to_host(
+                state.ema_params if has_ema else state.params
+            )
         if which == "step":
             template["batch_index"] = np.asarray(0)
         payload = self._ckptr.restore(path, template)
         self.last_restore_loaded = True
         self.best_val = float(payload["best_val_loss"])
         epoch = int(payload["epoch"])
-        ema_kw = (
-            {"ema_params": payload["ema_params"]} if has_ema else {}
-        )
+        ema_kw = {}
+        if has_ema:
+            ema_kw["ema_params"] = (
+                payload["ema_params"] if disk_has_ema else payload["params"]
+            )
         if mode == "model":
             state = state.replace(
                 params=payload["params"], batch_stats=payload["batch_stats"],

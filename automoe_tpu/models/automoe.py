@@ -39,9 +39,16 @@ def _make_expert(cfg, dtype, name, upsample=True):
     if cfg.type == "detection":
         return BDDDetectionExpert(cfg.num_classes, dtype, name=name)
     if cfg.type == "segmentation":
-        return BDDSegmentationExpert(cfg.num_classes, dtype, upsample, name=name)
+        # keyword args: r3 inserted remat/qat fields before upsample and a
+        # positional third arg silently bound to remat (full-res fast path
+        # + remat'd composite) — caught by test_fast_pool
+        return BDDSegmentationExpert(
+            cfg.num_classes, dtype, upsample=upsample, name=name
+        )
     if cfg.type == "drivable":
-        return BDDDrivableExpert(cfg.num_classes, dtype, upsample, name=name)
+        return BDDDrivableExpert(
+            cfg.num_classes, dtype, upsample=upsample, name=name
+        )
     if cfg.type == "nuscenes":
         return NuScenesExpert(
             num_queries=cfg.num_queries,

@@ -23,19 +23,17 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e9  # python scalar: jnp constants may not be captured by pallas kernels
 
 
-#: ε-scaling (Bertsekas) was tried for the degenerate-cost thrash an
-#: untrained detector induces (r3) and REJECTED: with price warm-starts
-#: across phases the final assignment stays ε-CS but the N<Q asymmetry
-#: (48 targets binding to 64 queries) breaks the ε-CS → Nε-optimality
-#: argument — coarse phases inflate prices of objects that end up
-#: unassigned, and forward-auction prices never come down (measured:
-#: 3 phases = 0.66 suboptimality on a 6x8 case whose bound is 0.04;
-#: 1 phase exact). Fixing it needs the asymmetric auction's unassigned-
-#: object price resets, whose extra machinery costs more than the
-#: thrash it saves here — the iteration cap + drop policy bounds the
-#: degenerate case instead. Keep _EPS_PHASES = 1.
-_EPS_PHASES = 1
-_EPS_SCALE = 10.0
+# ε-scaling (Bertsekas) was tried for the degenerate-cost thrash an
+# untrained detector induces (r3) and REJECTED — the kernel is single-
+# phase ON PURPOSE: with price warm-starts across phases the final
+# assignment stays ε-CS but the N<Q asymmetry (48 targets binding to 64
+# queries) breaks the ε-CS → Nε-optimality argument — coarse phases
+# inflate prices of objects that end up unassigned, and forward-auction
+# prices never come down (measured: 3 phases = 0.66 suboptimality on a
+# 6x8 case whose bound is 0.04; 1 phase exact). Fixing it needs the
+# asymmetric auction's unassigned-object price resets, whose extra
+# machinery costs more than the thrash it saves here — the iteration cap
+# + greedy-completion policy bounds the degenerate case instead.
 
 
 def _auction_kernel(benefit_ref, valid_ref, eps_ref, out_ref, *, max_iters):
@@ -54,57 +52,50 @@ def _auction_kernel(benefit_ref, valid_ref, eps_ref, out_ref, *, max_iters):
         unassigned = jnp.any((person_obj < 0) & valid)
         return jnp.logical_and(unassigned, it < max_iters)
 
-    def make_body(eps_p):
-        def body(state):
-            price, person_obj, it = state  # price [1,Q], person_obj [N,1]
-            values = benefit - price  # [N,Q] broadcast
-            v1 = jnp.max(values, axis=1, keepdims=True)  # [N,1]
-            # first argmax per row via iota-min (cumsum not lowered on TPU)
-            best_j = jnp.min(
-                jnp.where(values >= v1, iota_q, Q), axis=1, keepdims=True
-            )  # [N,1]
-            best_onehot = iota_q == best_j  # [N,Q]
-            v2 = jnp.max(
-                jnp.where(best_onehot, _NEG, values), axis=1, keepdims=True
-            )
-            bid_inc = v1 - v2 + eps_p  # [N,1]
+    def body(state):
+        price, person_obj, it = state  # price [1,Q], person_obj [N,1]
+        values = benefit - price  # [N,Q] broadcast
+        v1 = jnp.max(values, axis=1, keepdims=True)  # [N,1]
+        # first argmax per row via iota-min (cumsum not lowered on TPU)
+        best_j = jnp.min(
+            jnp.where(values >= v1, iota_q, Q), axis=1, keepdims=True
+        )  # [N,1]
+        best_onehot = iota_q == best_j  # [N,Q]
+        v2 = jnp.max(
+            jnp.where(best_onehot, _NEG, values), axis=1, keepdims=True
+        )
+        bid_inc = v1 - v2 + eps  # [N,1]
 
-            bidding = (person_obj < 0) & valid  # [N,1]
-            bids = jnp.where(bidding & best_onehot, bid_inc, _NEG)  # [N,Q]
-            win_val = jnp.max(bids, axis=0, keepdims=True)  # [1,Q]
-            has_bid = win_val > _NEG * 0.5  # [1,Q]
-            # winner per object: first row achieving the max (iota-min)
-            win_n = jnp.min(
-                jnp.where((bids >= win_val) & has_bid, iota_n, N),
-                axis=0, keepdims=True,
-            )  # [1,Q]
-            is_win = (iota_n == win_n) & has_bid
+        bidding = (person_obj < 0) & valid  # [N,1]
+        bids = jnp.where(bidding & best_onehot, bid_inc, _NEG)  # [N,Q]
+        win_val = jnp.max(bids, axis=0, keepdims=True)  # [1,Q]
+        has_bid = win_val > _NEG * 0.5  # [1,Q]
+        # winner per object: first row achieving the max (iota-min)
+        win_n = jnp.min(
+            jnp.where((bids >= win_val) & has_bid, iota_n, N),
+            axis=0, keepdims=True,
+        )  # [1,Q]
+        is_win = (iota_n == win_n) & has_bid
 
-            price = jnp.where(has_bid, price + win_val, price)
+        price = jnp.where(has_bid, price + win_val, price)
 
-            # evict: person holding a re-won object loses it
-            holds = (iota_q == person_obj) & (person_obj >= 0)  # [N,Q]
-            lost = jnp.any(holds & has_bid, axis=1, keepdims=True)  # [N,1]
-            person_obj = jnp.where(lost, -1, person_obj)
+        # evict: person holding a re-won object loses it
+        holds = (iota_q == person_obj) & (person_obj >= 0)  # [N,Q]
+        lost = jnp.any(holds & has_bid, axis=1, keepdims=True)  # [N,1]
+        person_obj = jnp.where(lost, -1, person_obj)
 
-            # award: person n wins object j where is_win[n,j]
-            new_assign = jnp.max(
-                jnp.where(is_win, iota_q, -1), axis=1, keepdims=True
-            )  # [N,1]
-            person_obj = jnp.where(new_assign >= 0, new_assign, person_obj)
-            return price, person_obj, it + 1
-
-        return body
+        # award: person n wins object j where is_win[n,j]
+        new_assign = jnp.max(
+            jnp.where(is_win, iota_q, -1), axis=1, keepdims=True
+        )  # [N,1]
+        person_obj = jnp.where(new_assign >= 0, new_assign, person_obj)
+        return price, person_obj, it + 1
 
     price = jnp.zeros((1, Q), jnp.float32)
     person_obj = jnp.full((N, 1), -1, jnp.int32)
-    it = 0
-    for k in range(_EPS_PHASES - 1, -1, -1):  # coarse → fine
-        eps_p = eps * jnp.float32(_EPS_SCALE ** k)
-        person_obj = jnp.full((N, 1), -1, jnp.int32)  # keep prices only
-        price, person_obj, it = jax.lax.while_loop(
-            cond, make_body(eps_p), (price, person_obj, it)
-        )
+    price, person_obj, _ = jax.lax.while_loop(
+        cond, body, (price, person_obj, 0)
+    )
 
     # Greedy completion: persons the capped phase left unassigned (the
     # near-tie bidders that caused the thrash) take their best FREE

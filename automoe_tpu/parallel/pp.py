@@ -103,9 +103,13 @@ def pipeline_apply(
         init = jnp.zeros_like(feed[0])
         _, ys = jax.lax.scan(tick, init, feed)  # ys [T, mb, ...]
         # collect stage S-1's emissions; psum broadcasts them to every
-        # stage so the result leaves shard_map replicated over 'model'
-        mask = (idx == S - 1).astype(ys.dtype)
-        ys = jax.lax.psum(ys * mask, MODEL_AXIS)
+        # stage so the result leaves shard_map replicated over 'model'.
+        # jnp.where, NOT ys * mask: drain ticks run block_fn on zero
+        # buffers, and a block non-finite at 0 (rsqrt-norms, log) would
+        # turn mask*inf into NaN and psum it into real outputs
+        ys = jax.lax.psum(
+            jnp.where(idx == S - 1, ys, jnp.zeros((), ys.dtype)), MODEL_AXIS
+        )
         out = ys[S - 1:]  # [M, mb, ...] — microbatch m finishes at tick m+S-1
         return out.reshape(xb.shape)
 

@@ -123,6 +123,19 @@ def _conv(x, w, stride, pad, preferred=None):
     )
 
 
+def _conv_head(hp: Dict, feats: jnp.ndarray, dtype) -> jnp.ndarray:
+    """The _ConvHead forward (models/experts.py): relu(3x3 pad1) -> 1x1,
+    over bf16 flax head/decoder params — ONE implementation shared by the
+    per-expert eval path and the full serving forward so the head math
+    cannot drift from the module it mirrors."""
+    h = jax.nn.relu(
+        _conv(feats, jnp.asarray(hp["conv1"]["kernel"], dtype), 1, 1)
+        + jnp.asarray(hp["conv1"]["bias"], dtype)
+    )
+    return _conv(h, jnp.asarray(hp["conv2"]["kernel"], dtype), 1, 0) \
+        + jnp.asarray(hp["conv2"]["bias"], dtype)
+
+
 def resnet_float_forward(folded: Dict, x: jnp.ndarray, dtype=jnp.float32,
                          collect: Optional[Dict] = None) -> jnp.ndarray:
     """BN-folded float trunk (== ResNet18Backbone.apply in eval mode).
@@ -494,13 +507,7 @@ def make_expert_quant_apply(task: str, num_classes: int,
 
     def apply_fn(tree, image):
         feats = trunk_fwd(tree["q"], scales, image.astype(dtype), dtype=dtype)
-        hp = tree["params"][head_name]
-        h = jax.nn.relu(
-            _conv(feats, jnp.asarray(hp["conv1"]["kernel"], dtype), 1, 1)
-            + jnp.asarray(hp["conv1"]["bias"], dtype)
-        )
-        out = _conv(h, jnp.asarray(hp["conv2"]["kernel"], dtype), 1, 0) \
-            + jnp.asarray(hp["conv2"]["bias"], dtype)
+        out = _conv_head(tree["params"][head_name], feats, dtype)
         if task == "detection":
             return {
                 "class_logits": out[..., :num_classes],
@@ -606,24 +613,13 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
                 )  # [B, h, w, 512]
             ep = params[f"expert_{i}"]
             if ecfg.type == "detection":
-                h = jax.nn.relu(
-                    _conv(feats, jnp.asarray(ep["head"]["conv1"]["kernel"], dtype),
-                          1, 1) + jnp.asarray(ep["head"]["conv1"]["bias"], dtype)
-                )
-                out = _conv(h, jnp.asarray(ep["head"]["conv2"]["kernel"], dtype),
-                            1, 0) + jnp.asarray(ep["head"]["conv2"]["bias"], dtype)
+                out = _conv_head(ep["head"], feats, dtype)
                 expert_out = {
                     "class_logits": out[..., : ecfg.num_classes],
                     "bbox_deltas": out[..., ecfg.num_classes:],
                 }
             elif ecfg.type in ("segmentation", "drivable"):
-                h = jax.nn.relu(
-                    _conv(feats, jnp.asarray(ep["decoder"]["conv1"]["kernel"], dtype),
-                          1, 1) + jnp.asarray(ep["decoder"]["conv1"]["bias"], dtype)
-                )
-                expert_out = _conv(
-                    h, jnp.asarray(ep["decoder"]["conv2"]["kernel"], dtype), 1, 0
-                ) + jnp.asarray(ep["decoder"]["conv2"]["bias"], dtype)
+                expert_out = _conv_head(ep["decoder"], feats, dtype)
             else:  # nuscenes: int8 image trunk (+ bf16 PointNet if lidar)
                 img_feat = jnp.mean(feats, axis=(1, 2))  # include_pool
                 img_feat = _dense(ep["image_projection"], img_feat)

@@ -124,7 +124,14 @@ class Trainer:
 
         rng = jax.random.key(config.seed)
         variables = workload.init_variables(rng)
-        total_steps = config.epochs * max(1, len(train_loader))
+        # cosine-schedule length counts OPTIMIZER steps (what optax's
+        # schedule sees): with --grad-accum K, K loader batches advance
+        # the optimizer once — without the division the run would end
+        # ~1/K of the way through the decay
+        batches_per_epoch = max(1, len(train_loader))
+        if config.grad_accum > 1:
+            batches_per_epoch = max(1, batches_per_epoch // config.grad_accum)
+        total_steps = config.epochs * batches_per_epoch
         mask = (
             workload.trainable_mask_fn(variables["params"])
             if workload.trainable_mask_fn

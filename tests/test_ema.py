@@ -196,3 +196,29 @@ def test_serve_cli_ema_guards():
         scli.main(["--ema", "--bundle", "x"], block=False)
     with pytest.raises(SystemExit):
         scli.main(["--ema", "--checkpoint", "x.pth"], block=False)
+
+
+def test_ema_checkpoint_restore_asymmetries(tmp_path):
+    """r3 review: EMA presence may differ between checkpoint and run.
+    (a) an --ema-decay checkpoint resumes into a NON-ema run (ema on disk
+    is ignored); (b) a non-ema checkpoint resumes into an --ema-decay run
+    (the EMA seeds at the restored params)."""
+    # (a) EMA checkpoint → non-EMA resume
+    tr = _mk_trainer(tmp_path / "a", ema_decay=0.9, epochs=1)
+    tr.fit()
+    tr2 = _mk_trainer(tmp_path / "a", ema_decay=0.0, epochs=1,
+                      resume="full", resume_from="last")
+    assert tr2.resumed and tr2.state.ema_params is None
+    for x, y in zip(jax.tree.leaves(tr.state.params),
+                    jax.tree.leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # (b) non-EMA checkpoint → EMA resume: ema seeded at restored params
+    tr3 = _mk_trainer(tmp_path / "b", ema_decay=0.0, epochs=1)
+    tr3.fit()
+    tr4 = _mk_trainer(tmp_path / "b", ema_decay=0.9, epochs=1,
+                      resume="full", resume_from="last")
+    assert tr4.resumed and tr4.state.ema_params is not None
+    for x, y in zip(jax.tree.leaves(tr4.state.params),
+                    jax.tree.leaves(tr4.state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -189,3 +189,48 @@ def test_cli_grad_accum_flag(monkeypatch):
             ["bdd", "--task", "drivable", "--grad-accum", "4", "--no-mesh"]
         )
     assert seen["cfg"].grad_accum == 4
+
+
+def test_grad_accum_schedule_counts_optimizer_steps(tmp_path, monkeypatch):
+    """r3 review: the cosine-schedule length must count OPTIMIZER steps,
+    not loader batches — with grad_accum=K the optimizer advances once
+    per K batches, so total_steps must be epochs * (batches // K)
+    (otherwise the run ends ~1/K of the way through the decay)."""
+    import automoe_tpu.train.loop as L
+    from automoe_tpu.data.loader import DataLoader
+    from automoe_tpu.train.loop import TrainConfig, Trainer
+
+    captured = {}
+    real = L.make_optimizer
+
+    def spy(**kw):
+        captured.update(kw)
+        return real(**kw)
+
+    monkeypatch.setattr(L, "make_optimizer", spy)
+
+    class _Seg:
+        def __len__(self):
+            return 32  # 4 loader batches of 8
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                "image": r.normal(size=(32, 32, 3)).astype(np.float32),
+                "mask": r.integers(0, 3, (32, 32)).astype(np.int32),
+            }
+
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(_Seg(), batch_size=8, num_workers=0, shuffle=False)
+
+    def cfg(K):
+        return TrainConfig(
+            epochs=3, learning_rate=1e-3, run_name=f"gs{K}", grad_accum=K,
+            ckpt_root=str(tmp_path / "c"), runs_root=str(tmp_path / "r"),
+        )
+
+    Trainer(wl, train, train, cfg(2))
+    assert captured["total_steps"] == 3 * 2  # 4 batches / K=2 per epoch
+
+    Trainer(wl, train, train, cfg(1))
+    assert captured["total_steps"] == 3 * 4

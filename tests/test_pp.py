@@ -165,3 +165,25 @@ def test_aot_v5e_pp_collective_permute():
     compiled = f.lower(ab_p, ab_x).compile()
     hlo = compiled.as_text()
     assert "collective-permute" in hlo
+
+
+def test_pp_nonfinite_at_zero_block():
+    """r3 review: drain ticks run block_fn on zero-filled buffers; a block
+    non-finite at 0 (here an rsqrt RMS-norm) must not leak NaN into real
+    outputs (the masked psum uses jnp.where, not mask*ys — 0*inf = NaN)."""
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+
+    def norm_block(params, h):
+        # rsqrt(mean(h^2)) is inf at h == 0
+        g = h * jax.lax.rsqrt(jnp.mean(h**2, axis=-1, keepdims=True))
+        return h + jnp.maximum(g @ params["w1"] + params["b1"], 0.0) @ params["w2"]
+
+    params, x = _setup()
+    y_ref = jax.jit(lambda p, h: sequential_apply(norm_block, p, h))(params, x)
+    placed = jax.device_put(params, stage_param_sharding(mesh))
+    y = jax.jit(
+        lambda p, h: pipeline_apply(norm_block, p, h, mesh, microbatches=4)
+    )(placed, x)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5,
+                               atol=2e-6)

@@ -19,6 +19,8 @@ backbone rather than a wrapper in train/step.py.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -172,6 +174,13 @@ def test_remat_recomputes_backbone_convs():
 
 
 @pytest.mark.slow  # two deviceless v5e AOT compiles, ~8 min on CPU
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_AOT"),
+    reason="two deviceless v5e AOT compiles of the full train step take "
+           "~10 min (the AOT result can't hit the compile cache: "
+           "DeserializeLoadedExecutable unimplemented) — run separately "
+           "with RUN_SLOW_AOT=1 and a ~700 s budget",
+)
 def test_aot_v5e_remat_memory_cut():
     """The memory claim, measured: AOT-compile the drivable train step
     against the real v5e-8 topology with and without remat — the remat
