@@ -123,11 +123,25 @@ class CheckpointManager:
     # -- restore ------------------------------------------------------------
 
     def _disk_has(self, path, key: str) -> bool:
-        """Whether the checkpoint's saved tree has a top-level `key`."""
+        """Whether the checkpoint's saved tree has a top-level `key`.
+
+        A metadata read that FAILS (orbax API drift, transient FS error)
+        is warned about, not swallowed silently: answering False for a
+        checkpoint that does contain `key` makes the subsequent
+        StandardCheckpointer restore fail with a confusing
+        template/disk-tree mismatch — the warning names the real cause."""
         try:
             tree = self._ckptr.metadata(path).item_metadata.tree
             return key in tree
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — diagnosed via warning
+            import warnings
+
+            warnings.warn(
+                f"checkpoint metadata read failed for {path} ({e!r}); "
+                f"assuming no '{key}' in the saved tree — if the restore "
+                "below fails with a tree mismatch, this is why",
+                stacklevel=2,
+            )
             return False
 
     def restore(

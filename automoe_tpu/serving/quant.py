@@ -623,9 +623,20 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
             else:  # nuscenes: int8 image trunk (+ bf16 PointNet if lidar)
                 img_feat = jnp.mean(feats, axis=(1, 2))  # include_pool
                 img_feat = _dense(ep["image_projection"], img_feat)
-                if ecfg.use_lidar and "lidar" in batch:
+                if ecfg.use_lidar:
                     from automoe_tpu.models.experts import PointNet
 
+                    # lidar absent from the batch (the engine's camera-only
+                    # serving loop) → zero point cloud through the PointNet,
+                    # matching the composite forward (models/automoe.py
+                    # lidar-or-zeros, reference automoe.py:170-175). Skipping
+                    # the branch instead diverges from the bf16 engine for
+                    # fusion='add' and shape-errors for 'concat'.
+                    lidar = batch.get("lidar")
+                    if lidar is None:
+                        lidar = jnp.zeros(
+                            (img_feat.shape[0], 1000, 3), dtype
+                        )
                     pnet = PointNet(
                         output_dim=256, use_tnet=ecfg.use_tnet, dtype=dtype
                     )
@@ -638,7 +649,7 @@ def make_quant_forward(config, scales: List[Dict[str, float]],
                     if pstats:
                         pvars["batch_stats"] = pstats
                     lidar_feat = pnet.apply(
-                        pvars, batch["lidar"].astype(dtype),
+                        pvars, lidar.astype(dtype),
                         train=False, deterministic=True,
                     )
                     fused = (

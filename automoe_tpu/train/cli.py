@@ -309,6 +309,9 @@ def cmd_policy(args):
     if args.remat:
         print("[cli] --remat: no effect for policy (EasyBackbone is 4 "
               "convs; nothing worth checkpointing)")
+    if args.qat:
+        print("[cli] --qat: no effect for policy (int8 serving quantizes "
+              "only the expert trunks; the policy head stays bf16)")
     wl = W.policy_workload(
         horizon=args.horizon, context_dim=args.context_dim,
         image_size=args.image_size, dtype=_dtype(args),
@@ -341,6 +344,10 @@ def cmd_gating(args):
     if args.remat:
         print("[cli] --remat: no effect for gating (experts run frozen "
               "in eval mode; the backward never crosses the backbones)")
+    if args.qat:
+        print("[cli] --qat: no effect for gating (experts are frozen "
+              "pre-trained weights here; QAT belongs to the expert "
+              "trainers whose checkpoints feed this stage)")
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 

@@ -127,10 +127,16 @@ class Trainer:
         # cosine-schedule length counts OPTIMIZER steps (what optax's
         # schedule sees): with --grad-accum K, K loader batches advance
         # the optimizer once — without the division the run would end
-        # ~1/K of the way through the decay
+        # ~1/K of the way through the decay. The len%K tail batches each
+        # run as a FULL optimizer step (_train_epoch_grouped's tail), so
+        # they count too: undercounting would clamp the cosine at
+        # alpha=0 → lr 0 for the back of every epoch.
         batches_per_epoch = max(1, len(train_loader))
         if config.grad_accum > 1:
-            batches_per_epoch = max(1, batches_per_epoch // config.grad_accum)
+            k = config.grad_accum
+            batches_per_epoch = max(
+                1, batches_per_epoch // k + batches_per_epoch % k
+            )
         total_steps = config.epochs * batches_per_epoch
         mask = (
             workload.trainable_mask_fn(variables["params"])

@@ -234,3 +234,9 @@ def test_grad_accum_schedule_counts_optimizer_steps(tmp_path, monkeypatch):
 
     Trainer(wl, train, train, cfg(1))
     assert captured["total_steps"] == 3 * 4
+
+    # non-divisible: the len%K leftover batches run as FULL optimizer
+    # steps in _train_epoch_grouped's tail — undercounting them would
+    # clamp the cosine at alpha=0 (lr 0) for the back of every epoch
+    Trainer(wl, train, train, cfg(3))
+    assert captured["total_steps"] == 3 * (1 + 1)  # 4//3 groups + 4%3 tail

@@ -261,6 +261,59 @@ def test_quant_forward_with_lidar(rng):
     assert rel < 0.03, f"waypoint relative error {rel}"
 
 
+def test_quant_forward_lidar_absent_matches_composite(rng):
+    """Camera-only serving of a lidar-TRAINED model (the engine's batch
+    never carries 'lidar'): the quant path must mirror the composite's
+    lidar-or-zeros substitution (models/automoe.py, reference
+    automoe.py:170-175) instead of skipping the PointNet branch — for
+    fusion='add' skipping silently shifts the fused features (PointNet of
+    zeros is non-zero: biases+BN), for 'concat' it shape-errors."""
+    from automoe_tpu.models import create_automoe_model
+
+    for fusion in ("add", "concat"):
+        cfg = {
+            "experts": [
+                {"type": "nuscenes", "num_queries": 8, "bbox_dim": 7,
+                 "fusion": fusion, "use_lidar": True, "use_tnet": False},
+            ],
+            "gating": {"top_k": 0, "noise_scale": 0.0},
+            "context": {"type": "simple"},
+            "policy": {"num_waypoints": 4},
+        }
+        train_batch = {
+            "image": jnp.asarray(
+                rng.normal(size=(B, S, S, 3)).astype(np.float32)
+            ),
+            "lidar": jnp.asarray(
+                rng.normal(size=(B, 32, 3)).astype(np.float32)
+            ),
+            "speed": jnp.ones((B, 1), jnp.float32),
+            "steering": jnp.zeros((B, 1), jnp.float32),
+            "throttle": jnp.zeros((B, 1), jnp.float32),
+            "brake": jnp.zeros((B, 1), jnp.float32),
+        }
+        serve_batch = {k: v for k, v in train_batch.items() if k != "lidar"}
+        model = create_automoe_model(cfg, fast_gating_pool=True)
+        variables = jit_init(model, jax.random.key(0), train_batch)
+        _, upd = model.apply(
+            variables, train_batch, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(1), "gating": jax.random.key(2)},
+            deterministic=True,
+        )
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+
+        ref = model.apply(variables, serve_batch)  # composite: lidar zeros
+        qpack = quantize_automoe(variables, cfg, [train_batch],
+                                 dtype=jnp.float32)
+        fwd = make_quant_forward(cfg, qpack["scales"], dtype=jnp.float32)
+        out = fwd(variables, qpack["experts"], serve_batch)
+        wp_ref = np.asarray(ref["waypoints"]).reshape(-1)
+        wp_q = np.asarray(out["waypoints"]).reshape(-1)
+        rel = np.abs(wp_ref - wp_q).mean() / (np.abs(wp_ref).mean() + 1e-12)
+        assert rel < 0.03, f"fusion={fusion} waypoint relative error {rel}"
+
+
 def test_quant_trunk_gspmd_batch_sharded(backbone_and_vars):
     """The int8 trunk jits over a data-sharded batch on the 8-device mesh
     (serving scale-out path) and matches the single-device result."""
