@@ -15,9 +15,12 @@ VMEM, quantizes it there, pools it there, and only ever writes the
 pooled [B,64,64,256] int8 output:
 
   * grid over the batch; per image, 4 row-chunks of 32 conv rows;
-  * the s2d input rows stream HBM->VMEM by async DMA, double-buffered
-    across chunks (the [...,12] channel dim pads to 128 lanes in VMEM,
-    but DMA moves only the real bytes);
+  * the whole [hc+4, wp, 12] s2d image (444 KB at 256²) rides into VMEM
+    as the grid step's input block — pallas pipelines the copies across
+    batch elements, and the BlockSpec auto-copy is the one HBM→VMEM
+    path Mosaic accepts for a 12-lane minor dim (manual async DMA to
+    such a destination is unimplemented — probe matrix in
+    benchmarks/BENCHMARKS.md);
   * the 4x4x12 conv is an im2col matmul: 16 shifted [R,128,12] slices
     concatenated along lanes -> P [R*128, 192] @ W [192, 256] on the
     MXU with f32 accumulation (same contraction as the XLA conv);
@@ -74,27 +77,20 @@ def _pool_chunk(ck: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(jnp.maximum(b0, b1), b2)           # [16, Wc/2, O]
 
 
-def _stem_kernel(xs_hbm, w_ref, bias_ref, inv_ref, out_ref, xs_buf, p_buf,
-                 sems, *, hc: int, wc: int, o: int):
-    bidx = pl.program_id(0)
+def _stem_kernel(xs_ref, w_ref, bias_ref, inv_ref, out_ref, p_buf,
+                 *, hc: int, wc: int, o: int):
+    # xs_ref: [1, hc+4, wp, 12] VMEM block — one image's s2d input,
+    # copied in (and pipelined across grid steps) by pallas itself. The
+    # earlier revision DMA'd row-chunks by hand, but Mosaic cannot lower
+    # a manual async copy whose destination has a 12-lane minor dim
+    # (probe matrix in benchmarks/BENCHMARKS.md) while the BlockSpec
+    # auto-copy of the same layout is legal — and it double-buffers
+    # batch elements for free.
     n_chunks = hc // _CHUNK
-
-    def dma(t, slot):
+    for t in range(n_chunks):  # static unroll: shapes differ at t=0
         # chunk t consumes conv rows 32t-1..32t+31 -> xs rows 32t-1..32t+34;
         # t=0 starts at row 0 (the missing row -1 is the zero edge row)
         start = max(0, _CHUNK * t - 1)
-        return pltpu.make_async_copy(
-            xs_hbm.at[bidx, pl.ds(start, _CHUNK + 4)],
-            xs_buf.at[slot],
-            sems.at[slot],
-        )
-
-    dma(0, 0).start()
-    for t in range(n_chunks):  # static unroll: shapes differ at t=0
-        slot = t % 2
-        if t + 1 < n_chunks:
-            dma(t + 1, (t + 1) % 2).start()
-        dma(t, slot).wait()
         r = _CHUNK if t == 0 else _CHUNK + 1
         # im2col: tap (a,b) of the 4x4 kernel, channels c packed last ->
         # lane index (a*4+b)*12+c matches w_ref's (a,b,c) row-major rows.
@@ -105,7 +101,7 @@ def _stem_kernel(xs_hbm, w_ref, bias_ref, inv_ref, out_ref, xs_buf, p_buf,
             for b in range(4):
                 k = a * 4 + b
                 p_buf[0:r, :, 12 * k: 12 * (k + 1)] = (
-                    xs_buf[slot, a: a + r, b: b + wc, :]
+                    xs_ref[0, start + a: start + a + r, b: b + wc, :]
                 )
         acc = jnp.dot(
             p_buf[0:r].reshape(r * wc, 192),
@@ -149,7 +145,12 @@ def s2d_stem_pool_int8(xs: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
         kernel,
         grid=(b_,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # xs stays in HBM
+            # one image's s2d input per grid step, auto-copied to VMEM
+            # (444 KB at 256²) and pipelined across steps by pallas
+            pl.BlockSpec(
+                (1, hc + 4, wp, cin), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias [1,O]
             pl.BlockSpec(memory_space=pltpu.VMEM),  # inv [1,O]
@@ -160,9 +161,7 @@ def s2d_stem_pool_int8(xs: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((b_, hc // 2, wc // 2, o), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, _CHUNK + 4, wp, cin), xs.dtype),
             pltpu.VMEM((_CHUNK + 1, wc, 192), xs.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
