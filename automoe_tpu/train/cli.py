@@ -64,6 +64,14 @@ def _add_common(p: argparse.ArgumentParser):
                         "(default: auction_pallas on TPU, auction elsewhere)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (params stay fp32)")
+    p.add_argument("--schedule", default=None,
+                   choices=["cosine", "constant", "cosine_per_epoch"],
+                   help="LR schedule cadence; default mirrors each "
+                        "reference trainer: cosine per optimizer step "
+                        "(experts), constant (policy — the reference has "
+                        "no scheduler there), cosine_per_epoch (gating — "
+                        "the reference steps a T_max=epochs*len cosine "
+                        "once per epoch)")
     p.add_argument("--no-mesh", action="store_true",
                    help="single-device (skip mesh sharding)")
     p.add_argument("--model-axis", type=int, default=1,
@@ -178,8 +186,16 @@ def _dtype(args):
     return jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
 
 
-def _train_cfg(args) -> TrainConfig:
+#: reference-faithful schedule per pipeline (make_optimizer docstring)
+_DEFAULT_SCHEDULE = {"policy": "constant", "gating": "cosine_per_epoch"}
+
+
+def _train_cfg(args, pipeline: str = "") -> TrainConfig:
+    schedule = getattr(args, "schedule", None) or _DEFAULT_SCHEDULE.get(
+        pipeline, "cosine"
+    )
     return TrainConfig(
+        schedule=schedule,
         epochs=args.epochs,
         learning_rate=args.learning_rate,
         weight_decay=args.weight_decay,
@@ -327,7 +343,7 @@ def cmd_policy(args):
         return {"dry_run": True}
     mesh = _mesh(args)
     train, val = _loaders(get_carla_sequence_loader, args, horizon=args.horizon)
-    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+    return Trainer(wl, train, val, _train_cfg(args, "policy"), mesh=mesh).fit(_args_dump(args))
 
 
 def cmd_gating(args):
@@ -385,7 +401,7 @@ def cmd_gating(args):
     train, val = _loaders(
         get_carla_sequence_loader, args, horizon=model_cfg.policy.num_waypoints
     )
-    trainer = Trainer(wl, train, val, _train_cfg(args), mesh=mesh)
+    trainer = Trainer(wl, train, val, _train_cfg(args, "gating"), mesh=mesh)
     # expert checkpoints seed FRESH state only: when a resume actually
     # restored a checkpoint, re-grafting the original expert files would
     # roll back expert BN stats (or, with --unfreeze-experts, all trained

@@ -54,6 +54,12 @@ class TrainConfig:
     weight_decay: float = 1e-4
     grad_clip: float = 1.0
     optimizer: str = "adamw"  # 'adamw' (every reference trainer) | 'sgd'
+    # LR schedule cadence — mirrors the reference trainer families
+    # (train/state.py::make_optimizer): 'cosine' per optimizer step
+    # (BDD/nuScenes/CARLA experts), 'constant' (the policy trainer has
+    # no scheduler), 'cosine_per_epoch' (the gating trainer steps a
+    # T_max=epochs*len cosine once per epoch — near-constant)
+    schedule: str = "cosine"
     seed: int = 0
     run_name: str = "run"
     ckpt_root: str = "checkpoints"
@@ -150,6 +156,8 @@ class Trainer:
             grad_clip=config.grad_clip,
             trainable_mask=mask,
             optimizer=config.optimizer,
+            schedule=config.schedule,
+            steps_per_epoch=batches_per_epoch,
         )
         self.state = TrainState.create(
             params=variables["params"],

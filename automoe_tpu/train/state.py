@@ -85,7 +85,21 @@ def make_optimizer(
     trainable_mask: Optional[Mapping] = None,
     schedule: str = "cosine",
     optimizer: str = "adamw",
+    steps_per_epoch: int = 0,
 ) -> optax.GradientTransformation:
+    """Schedules mirror each reference trainer's cadence exactly:
+
+    * 'cosine' — CosineAnnealingLR(T_max=epochs*len) stepped per
+      OPTIMIZER step (BDD/nuScenes/CARLA expert trainers,
+      train_bdd100k_ddp.py:45-47,100).
+    * 'constant' — no scheduler at all (the policy trainer,
+      train_carla_policy.py:176 creates AdamW and never a scheduler).
+    * 'cosine_per_epoch' — the gating trainer's quirk: T_max counts
+      epochs*len STEPS but scheduler.step() runs once per EPOCH
+      (train_gating_network.py:285-288,314), so the lr stays in the
+      first 1/len of the cosine — a near-constant decay the full
+      per-step cosine would badly misrepresent. Needs steps_per_epoch.
+    """
     if schedule == "cosine":
         lr = optax.cosine_decay_schedule(
             init_value=learning_rate,
@@ -94,6 +108,17 @@ def make_optimizer(
         )
     elif schedule == "constant":
         lr = learning_rate
+    elif schedule == "cosine_per_epoch":
+        if steps_per_epoch <= 0:
+            raise ValueError("cosine_per_epoch needs steps_per_epoch > 0")
+        base = optax.cosine_decay_schedule(
+            init_value=learning_rate,
+            decay_steps=max(total_steps, 1),
+            alpha=eta_min / learning_rate if learning_rate else 0.0,
+        )
+
+        def lr(step):  # torch lr_e = cosine(e), e = completed epochs
+            return base(step // steps_per_epoch)
     else:
         raise ValueError(f"unknown schedule {schedule}")
 

@@ -1,0 +1,142 @@
+"""LR-schedule CADENCE parity (train/state.py::make_optimizer).
+
+Each reference trainer steps its scheduler differently, and the LR curve
+is part of training semantics:
+
+  * experts (train_bdd100k_ddp.py:45-47,100 and the nuScenes/CARLA
+    variants): CosineAnnealingLR(T_max=epochs*len) stepped per OPTIMIZER
+    step -> our 'cosine';
+  * policy (train_carla_policy.py:176): AdamW with NO scheduler at all
+    -> our 'constant';
+  * gating (train_gating_network.py:285-288,314): T_max counts
+    epochs*len steps but scheduler.step() runs once per EPOCH, so the
+    run only ever traverses the first 1/len of the cosine — effectively
+    near-constant. Faithfully mirrored as 'cosine_per_epoch'.
+
+The trajectory-parity suite (test_torch_train_parity.py) pins the
+composed behavior; this file pins the raw curves against torch's
+CosineAnnealingLR and the CLI's per-pipeline defaults.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import torch
+
+from automoe_tpu.train.state import make_optimizer
+
+E, L = 5, 7  # epochs, optimizer steps per epoch
+LR0 = 0.02
+
+
+def _torch_lrs_stepped_per_epoch():
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(m.parameters(), lr=LR0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=E * L)
+    lrs = []
+    for _ in range(E):
+        lrs.append(opt.param_groups[0]["lr"])
+        sched.step()  # the gating trainer's per-EPOCH cadence
+    return lrs
+
+
+def _schedule_fn(schedule, **kw):
+    """Extract the lr schedule a make_optimizer config produces by
+    rebuilding it the way make_optimizer does (it is inlined into the
+    optax chain, so probe via the same construction)."""
+    import optax
+
+    tx = make_optimizer(
+        learning_rate=LR0, total_steps=E * L, schedule=schedule,
+        optimizer="sgd", grad_clip=1e9, **kw,
+    )
+    # recover lr(step) behaviorally: one SGD step on a unit gradient
+    # from zero params gives delta = -lr
+    def lr_at(step):
+        params = {"w": np.zeros((), np.float32)}
+        state = tx.init(params)
+        # advance the optimizer's internal count to `step`
+        import jax.numpy as jnp
+
+        g = {"w": jnp.ones((), jnp.float32)}
+        for _ in range(step):
+            _, state = tx.update(g, state, params)
+        upd, _ = tx.update(g, state, params)
+        return -float(upd["w"])
+
+    return lr_at
+
+
+def test_cosine_per_epoch_matches_torch_gating_cadence():
+    torch_lrs = _torch_lrs_stepped_per_epoch()
+    lr_at = _schedule_fn("cosine_per_epoch", steps_per_epoch=L)
+    for e in range(E):
+        # every step inside epoch e runs at the epoch's lr
+        for s in (e * L, e * L + L - 1):
+            np.testing.assert_allclose(
+                lr_at(s), torch_lrs[e], rtol=1e-5,
+                err_msg=f"epoch {e} step {s}",
+            )
+
+
+def test_cosine_per_epoch_is_near_constant():
+    """The quirk's practical meaning: over a realistic run the lr barely
+    decays (first 1/len of the cosine), unlike the full per-step cosine
+    that reaches ~0 — substituting one for the other materially changes
+    gating training."""
+    lr_pe = _schedule_fn("cosine_per_epoch", steps_per_epoch=L)
+    lr_ps = _schedule_fn("cosine")
+    last = E * L - 1
+    assert lr_pe(last) > 0.9 * LR0  # near-constant
+    assert lr_ps(last) < 0.05 * LR0  # fully decayed
+
+
+def test_constant_schedule():
+    lr_at = _schedule_fn("constant")
+    assert lr_at(0) == pytest.approx(LR0)
+    assert lr_at(E * L - 1) == pytest.approx(LR0)
+
+
+def test_cosine_per_epoch_requires_steps_per_epoch():
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        make_optimizer(
+            learning_rate=LR0, total_steps=10, schedule="cosine_per_epoch",
+        )
+
+
+def test_cli_schedule_defaults(monkeypatch):
+    """policy defaults to 'constant', gating to 'cosine_per_epoch',
+    experts to 'cosine'; --schedule overrides."""
+    import argparse
+
+    from automoe_tpu.train import cli as tcli
+
+    def cfg_for(pipeline, schedule_flag=None):
+        ns = argparse.Namespace(
+            epochs=1, learning_rate=1e-3, weight_decay=1e-4, seed=0,
+            run_name="r", ckpt_root="c", runs_root="r2", save_freq=0,
+            resume=None, resume_from="last", schedule=schedule_flag,
+        )
+        return tcli._train_cfg(ns, pipeline)
+
+    assert cfg_for("").schedule == "cosine"
+    assert cfg_for("policy").schedule == "constant"
+    assert cfg_for("gating").schedule == "cosine_per_epoch"
+    assert cfg_for("policy", "cosine").schedule == "cosine"
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, wl, train, val, cfg, mesh=None):
+            seen["cfg"] = cfg
+            raise SystemExit(0)
+
+    monkeypatch.setattr(tcli, "Trainer", FakeTrainer)
+    monkeypatch.setattr(tcli, "_init_backend", lambda args: None)
+    monkeypatch.setattr(tcli, "_loaders", lambda *a, **kw: ([], []))
+    with pytest.raises(SystemExit):
+        tcli.main(["policy", "--no-mesh"])
+    assert seen["cfg"].schedule == "constant"
+    with pytest.raises(SystemExit):
+        tcli.main(["bdd", "--task", "drivable", "--no-mesh"])
+    assert seen["cfg"].schedule == "cosine"

@@ -128,12 +128,12 @@ def _ref_trainer(task, tmodel, batches, monkeypatch, *, optimizer,
 
 
 def _run_ours(wl, batches, tmp_path, variables, *, optimizer,
-              weight_decay=0.0, run_name="tp"):
+              weight_decay=0.0, run_name="tp", schedule="cosine"):
     from automoe_tpu.train.state import TrainState
 
     cfg = TrainConfig(
         epochs=N_EPOCHS, learning_rate=LR, weight_decay=weight_decay,
-        optimizer=optimizer, run_name=run_name,
+        optimizer=optimizer, run_name=run_name, schedule=schedule,
         ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
         log_every=1, max_inflight=0,
     )
@@ -154,7 +154,13 @@ def _run_ours(wl, batches, tmp_path, variables, *, optimizer,
     return tr, losses
 
 
-def _assert_params_close(ours, torch_final_vars, rtol, atol):
+def _assert_params_close(ours, torch_final_vars, rtol, atol,
+                         max_mismatch_frac=0.0):
+    """max_mismatch_frac > 0 tolerates a vanishing fraction of forked
+    elements under AdamW: where v ~ 0, sqrt(v)-normalized updates turn fp
+    reduction noise into O(lr) per-element divergence (r2 ledger,
+    docs/DESIGN.md §3) — individual weights fork while the trajectory and
+    every other element track."""
     import jax
 
     flat_a = jax.tree_util.tree_leaves_with_path(ours)
@@ -162,10 +168,15 @@ def _assert_params_close(ours, torch_final_vars, rtol, atol):
     assert len(flat_a) == len(flat_b)
     for (pa, a), (pb, b) in zip(flat_a, flat_b):
         assert pa == pb
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol,
-            err_msg=jax.tree_util.keystr(pa),
-        )
+        a, b = np.asarray(a), np.asarray(b)
+        bad = np.abs(a - b) > (atol + rtol * np.abs(b))
+        frac = float(bad.sum()) / max(1, bad.size)
+        if frac > max_mismatch_frac:
+            np.testing.assert_allclose(
+                a, b, rtol=rtol, atol=atol,
+                err_msg=f"{jax.tree_util.keystr(pa)} "
+                        f"(mismatch fraction {frac:.2e})",
+            )
 
 
 def test_detection_sgd_trajectory_parity(tmp_path, monkeypatch):
@@ -268,3 +279,64 @@ def test_drivable_adamw_trajectory_parity(tmp_path, monkeypatch):
     )
     assert len(our_losses) == len(ref_losses)
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-2, atol=2e-2)
+
+
+def test_policy_adamw_trajectory_parity(tmp_path, monkeypatch):
+    """The ACTUAL policy trainer (training/train_carla_policy.py) vs our
+    Trainer in its reference-faithful regime: AdamW(wd=1e-4), clip 1.0,
+    and NO scheduler — the reference never creates one (:176), so the
+    CLI defaults `policy` to schedule='constant' (train/cli.py
+    _DEFAULT_SCHEDULE; a per-step cosine would silently change the LR
+    curve). Per-epoch mean losses and final params must track through
+    4 epochs x 3 batches."""
+    torch.manual_seed(14)
+    from automoe_tpu.train.workloads import policy_workload
+
+    H = 8
+    rng = np.random.default_rng(21)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        wp = rng.normal(size=(B, H, 2)).astype(np.float32)
+        spd = rng.uniform(0, 8, (B, H)).astype(np.float32)
+        tb.append({
+            "image": torch.from_numpy(img),
+            "waypoints": torch.from_numpy(wp),
+            "speed": torch.from_numpy(spd),
+        })
+        jb.append({
+            "image": np.transpose(img, (0, 2, 3, 1)).copy(),
+            "waypoints": wp.copy(),
+            "speed": spd.copy(),
+        })
+
+    ref_mod = importlib.import_module("train_carla_policy")
+    tmodel = ref_mod.TrajectoryPolicy(horizon=H)
+    variables = ck.import_policy(to_numpy_state_dict(tmodel))
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=1e-4)
+    ref_epoch_losses = [
+        ref_mod.train_one_epoch(
+            tmodel, tb, opt, torch.device("cpu"), e, N_EPOCHS, rank=1
+        )
+        for e in range(N_EPOCHS)
+    ]
+
+    wl = policy_workload(horizon=H, image_size=HW)
+    tr, our_losses = _run_ours(
+        wl, jb, tmp_path, variables, optimizer="adamw", weight_decay=1e-4,
+        run_name="policy", schedule="constant",
+    )
+    our_epoch_losses = [
+        float(np.mean(our_losses[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    np.testing.assert_allclose(
+        our_epoch_losses, ref_epoch_losses, rtol=2e-2, atol=2e-2
+    )
+    final_vars = ck.import_policy(to_numpy_state_dict(tmodel))
+    # AdamW forks isolated near-zero-v elements (measured: 1 of 262k in
+    # head_wp/fc1 after 12 steps) — bound the fraction, not each element
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=3e-2, atol=3e-3, max_mismatch_frac=1e-4,
+    )
