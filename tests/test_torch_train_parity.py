@@ -340,3 +340,135 @@ def test_policy_adamw_trajectory_parity(tmp_path, monkeypatch):
         {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
         final_vars, rtol=3e-2, atol=3e-3, max_mismatch_frac=1e-4,
     )
+
+
+@pytest.mark.slow
+def test_gating_adamw_trajectory_parity(tmp_path, monkeypatch):
+    """The FLAGSHIP pipeline: the actual reference gating trainer
+    (training/train_gating_network.py — full AutoMoE forward, frozen
+    experts, ADE/FDE/speed/smooth + load-balancing + entropy losses,
+    AdamW + a cosine stepped once per EPOCH) vs our Trainer with
+    gating_workload + schedule='cosine_per_epoch'. Dropout is disabled
+    on both sides (torch/jax RNG streams are incomparable; every other
+    regularizer stays live). Pins: per-epoch loss trajectory, frozen
+    experts bit-unchanged, trainable params tracking."""
+    import train_gating_network as ref_gate
+    from models.automoe import create_automoe_model as ref_create
+
+    from automoe_tpu.ckpt import import_automoe
+    from automoe_tpu.configs import load_model_config
+    from automoe_tpu.train import workloads as W
+    from automoe_tpu.train.workloads import gating_workload
+
+    CONFIG = {
+        "experts": [
+            {"type": "detection", "num_classes": 10, "output_dim": 256,
+             "pretrained_backbone": False},
+            {"type": "drivable", "num_classes": 3, "output_dim": 256,
+             "pretrained_backbone": False},
+            {"type": "nuscenes", "num_queries": 8, "num_classes": 10,
+             "output_dim": 256, "fusion": "sum", "use_lidar": False,
+             "use_tnet": False, "bbox_dim": 4},
+        ],
+        "gating": {"processed_dim": 256, "hidden_dim": 128,
+                   "temperature": 1.0, "use_softmax": True, "top_k": 0,
+                   "noise_type": "gumbel", "noise_scale": 0.0},
+        "context": {"type": "simple", "context_dim": 64},
+        "policy": {"hidden_dim": 256, "num_waypoints": 8,
+                   "waypoint_dim": 2},
+    }
+    H = 8
+    torch.manual_seed(15)
+    tmodel = ref_create(CONFIG, device="cpu")
+    tmodel.freeze_experts()
+    for m in tmodel.modules():  # RNG streams incomparable
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    cfg = load_model_config(CONFIG)
+    variables = import_automoe(to_numpy_state_dict(tmodel), cfg)
+    # frozen = the expert PARAMETERS; BN running stats still update in
+    # train mode on both sides (model.train() in the reference — the
+    # composite's forward feeds batches through frozen experts)
+    frozen_before = {
+        k: np.asarray(v).copy()
+        for k, v in to_numpy_state_dict(tmodel).items()
+        if k.startswith("experts.")
+        and "running_" not in k and "num_batches" not in k
+    }
+
+    rng = np.random.default_rng(31)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        wp = rng.normal(size=(B, H, 2)).astype(np.float32)
+        seqs = {
+            k: rng.uniform(0, 1, (B, H)).astype(np.float32)
+            for k in ("speed", "steering", "throttle", "brake")
+        }
+        tb.append({
+            "image": torch.from_numpy(img),
+            "waypoints": torch.from_numpy(wp),
+            **{k: torch.from_numpy(v) for k, v in seqs.items()},
+        })
+        jb.append({
+            "image": np.transpose(img, (0, 2, 3, 1)).copy(),
+            "waypoints": wp.copy(), **{k: v.copy() for k, v in seqs.items()},
+        })
+
+    loss_cfg = {}  # reference defaults: lb 0.01, entropy 0.001
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=1e-4)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=N_EPOCHS * N_BATCHES
+    )
+    tmodel.train()
+    ref_epoch_losses = []
+    for e in range(N_EPOCHS):
+        ref_epoch_losses.append(ref_gate.train_one_epoch(
+            tmodel, tb, opt, torch.device("cpu"), e, N_EPOCHS,
+            rank=1, config=loss_cfg,
+        ))
+        sched.step()  # the reference's per-EPOCH cadence (:314)
+
+    # ours: same model config, dropout off via the deterministic flag
+    monkeypatch.setattr(
+        W, "_det_kw",
+        lambda m: {"deterministic": True}
+        if "deterministic" in __import__("inspect").signature(
+            m.__call__).parameters else {},
+    )
+    wl = gating_workload(CONFIG, image_size=HW)
+    tr, our_losses = _run_ours(
+        wl, jb, tmp_path, variables, optimizer="adamw", weight_decay=1e-4,
+        run_name="gating", schedule="cosine_per_epoch",
+    )
+    our_epoch_losses = [
+        float(np.mean(our_losses[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    np.testing.assert_allclose(
+        our_epoch_losses, ref_epoch_losses, rtol=2e-2, atol=2e-2
+    )
+
+    # frozen experts: the reference leaves them bit-identical; so must we
+    final_sd = to_numpy_state_dict(tmodel)
+    for k, v in frozen_before.items():
+        np.testing.assert_array_equal(np.asarray(final_sd[k]), v, err_msg=k)
+    final_vars = import_automoe(final_sd, cfg)
+    import jax as _jax
+
+    ours_flat = dict(_jax.tree_util.tree_leaves_with_path(
+        {"params": tr.state.params}))
+    ref_flat = dict(_jax.tree_util.tree_leaves_with_path(
+        {"params": final_vars["params"]}))
+    for i in range(len(CONFIG["experts"])):
+        key = f"expert_{i}"
+        for p, a in ours_flat.items():
+            if f"'{key}'" in _jax.tree_util.keystr(p):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(ref_flat[p]),
+                    err_msg=_jax.tree_util.keystr(p),
+                )
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=3e-2, atol=3e-3, max_mismatch_frac=1e-4,
+    )
