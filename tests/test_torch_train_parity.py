@@ -11,8 +11,15 @@ the per-step loss trajectories plus the final parameters must match.
 
 SGD is the primary equivalence optimizer (AdamW's sqrt(v) normalization
 amplifies fp reduction noise on near-zero-gradient leaves into O(lr)
-divergence — r2 ledger, docs/DESIGN.md §3); one AdamW case runs with
+divergence — r2 ledger, docs/DESIGN.md §3); AdamW cases run with
 correspondingly looser bounds.
+
+Coverage spans the reference's trainer families: BDD detection (T2,
+SGD), drivable (T2, SGD + AdamW), nuScenes (T3, SGD — dropout disabled,
+RNG streams incomparable), policy (T6, AdamW + constant lr), gating
+(T7, AdamW + per-epoch cosine, frozen experts, full AutoMoE). The CARLA
+fine-tune (T4) shares T2's trainer skeleton; nuScenes-2D (T5) shares
+T3's loss composition with matched-only reductions (test_losses.py).
 
 Known legitimate divergences (ledgered in docs/DESIGN.md §3):
   * seg/drivable upsample borders differ between our resize matmul and
@@ -339,6 +346,98 @@ def test_policy_adamw_trajectory_parity(tmp_path, monkeypatch):
     _assert_params_close(
         {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
         final_vars, rtol=3e-2, atol=3e-3, max_mismatch_frac=1e-4,
+    )
+
+
+def test_nuscenes_sgd_trajectory_parity(tmp_path, monkeypatch):
+    """The actual nuScenes trainer (training/train_nuscenes_expert_ddp.py
+    — Hungarian matching over queries, CE(ignore -1) over ALL queries +
+    SmoothL1 over ALL queries with zero pad targets, per-step cosine,
+    clip 1.0) vs our Trainer on nuscenes_workload. SGD for the
+    equivalence run (r2 Adam lesson)."""
+    torch.manual_seed(16)
+    from automoe_tpu.ckpt.torch_import import import_nuscenes_expert
+    from automoe_tpu.train.workloads import nuscenes_workload
+
+    ref_mod = importlib.import_module("train_nuscenes_expert_ddp")
+    from models.experts.nuscenes_expert import NuScenesExpert as RefNu
+
+    Q, M = 8, 3
+    tmodel = RefNu(num_queries=Q, use_lidar=False, fusion="sum", bbox_dim=7)
+    # the decoder has Dropout(0.3) live in train mode — torch/jax RNG
+    # streams are incomparable, so disable it on both sides (same
+    # treatment as the gating test; every other train-mode behavior stays)
+    for m in tmodel.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    import inspect as _inspect
+
+    from automoe_tpu.train import workloads as W
+
+    monkeypatch.setattr(
+        W, "_det_kw",
+        lambda mdl: {"deterministic": True}
+        if "deterministic" in _inspect.signature(mdl.__call__).parameters
+        else {},
+    )
+    variables = import_nuscenes_expert(to_numpy_state_dict(tmodel))
+
+    rng = np.random.default_rng(41)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        lidar = rng.normal(size=(B, 64, 3)).astype(np.float32)
+        boxes = rng.normal(size=(B, M, 7)).astype(np.float32)
+        boxes[..., 3:6] = np.abs(boxes[..., 3:6]) + 0.5  # sane w/l/h
+        labels = rng.integers(0, 10, (B, M)).astype(np.int64)
+        labels[0, -1] = -1  # one padded slot
+        tb.append({
+            "image": torch.from_numpy(img),
+            "lidar": torch.from_numpy(lidar),
+            "intrinsics": torch.eye(3).repeat(B, 1, 1),
+            "boxes": torch.from_numpy(boxes),
+            "labels": torch.from_numpy(labels),
+        })
+        jb.append({
+            "image": np.transpose(img, (0, 2, 3, 1)).copy(),
+            "lidar": lidar.copy(),
+            "boxes": boxes.copy(),
+            "labels": labels.astype(np.int32),
+        })
+
+    config = {
+        "learning_rate": LR, "weight_decay": 0.0, "epochs": N_EPOCHS,
+        "run_name": "parity", "bbox_loss_weight": 5.0,
+    }
+    trainer = ref_mod.NuScenesTrainer(
+        tmodel, tb, tb, torch.device("cpu"), config
+    )
+    trainer.optimizer = torch.optim.SGD(tmodel.parameters(), lr=LR)
+    trainer.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        trainer.optimizer, T_max=N_EPOCHS * N_BATCHES
+    )
+    ref_epoch_losses = [
+        trainer.train_epoch(e) for e in range(N_EPOCHS)
+    ]
+
+    wl = nuscenes_workload(
+        num_queries=Q, use_lidar=False, fusion="sum", image_size=HW,
+        lidar_cap=64, box_cap=M, matcher="hungarian",
+    )
+    tr, our_losses = _run_ours(
+        wl, jb, tmp_path, variables, optimizer="sgd", run_name="nusc"
+    )
+    our_epoch_losses = [
+        float(np.mean(our_losses[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    np.testing.assert_allclose(
+        our_epoch_losses, ref_epoch_losses, rtol=1e-3, atol=1e-4
+    )
+    final_vars = import_nuscenes_expert(to_numpy_state_dict(tmodel))
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=1e-3, atol=2e-4,
     )
 
 
