@@ -163,7 +163,36 @@ def _flops_per_frame(batch_size: int, built=None) -> float:
 _V5E_PEAK_FLOPS = 197e12
 
 
+def _init_watchdog(timeout_s: float = 180.0):
+    """Fail fast if the TPU tunnel is wedged instead of hanging forever.
+
+    A healthy backend answers jax.devices() in seconds; a wedged axon
+    relay (e.g. after a mid-compile kill, CLAUDE.md landmine 4) blocks
+    it indefinitely — measured 4+ hours on 2026-08-18 — and a silently
+    hung bench is worse than a loud error. The watchdog covers ONLY
+    backend init (compiles may legitimately take 10+ min and are not
+    bounded here)."""
+    import os
+    import threading
+
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
+    fired = threading.Timer(timeout_s, lambda: (
+        print(json.dumps({
+            "metric": "automoe_e2e_preprocess_forward_throughput",
+            "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": f"TPU backend init exceeded {timeout_s:.0f}s — "
+                     "tunnel wedged; no measurement taken",
+        })),
+        os._exit(3),
+    ))
+    fired.daemon = True
+    fired.start()
+    jax.devices()  # blocks here iff the tunnel is dead
+    fired.cancel()
+
+
 def main():
+    _init_watchdog()
     enable_compile_cache()
     B = 128
     built_b = build_chain(B)   # one model build + compile per batch size
