@@ -9,6 +9,7 @@ from automoe_tpu.ckpt.torch_import import (  # noqa: F401
     import_drivable_expert,
     import_extractor,
     import_gating,
+    import_nuscenes_2d_head,
     import_nuscenes_expert,
     import_policy,
     import_segmentation_expert,

@@ -267,6 +267,22 @@ def import_nuscenes_expert(sd, prefix: str = "") -> Dict[str, Any]:
     return _variables(*_convert(sd, rules))
 
 
+def import_nuscenes_2d_head(sd, prefix: str = "") -> Dict[str, Any]:
+    """ImageOnlyWrapper (train_carla_nuscenes_expert_2d_ddp.py:25-49) →
+    NuScenesImage2DHead: ResNet18(+pool) image trunk, 256-d projection,
+    learned queries, MLP 256→256→128, class + 4-dim box heads."""
+    sd = _strip_prefix(sd, prefix)
+    rules = _resnet_rules("image_backbone.", "image_backbone") + [
+        (r"image_projection", "image_projection"),
+        (r"query_embed", "query_embed"),
+        (r"mlp\.0", "mlp_fc1"),
+        (r"mlp\.3", "mlp_fc2"),
+        (r"class_head", "class_head"),
+        (r"box_head", "box_head"),
+    ]
+    return _variables(*_convert(sd, rules))
+
+
 def import_gating(sd, prefix: str = "") -> Dict[str, Any]:
     sd = _strip_prefix(sd, prefix)
     rules = [

@@ -441,6 +441,71 @@ def test_nuscenes_sgd_trajectory_parity(tmp_path, monkeypatch):
     )
 
 
+def test_nuscenes_2d_sgd_trajectory_parity(tmp_path, monkeypatch):
+    """The actual nuScenes→CARLA 2D fine-tune trainer
+    (training/train_carla_nuscenes_expert_2d_ddp.py — ImageOnlyWrapper,
+    Hungarian matching, MATCHED-ONLY CE + SmoothL1, per-step cosine,
+    clip 1.0) vs our Trainer on carla_nuscenes_2d_workload. With this,
+    every reference trainer file has a trajectory-parity test."""
+    torch.manual_seed(17)
+    import inspect as _inspect
+
+    from automoe_tpu.ckpt import import_nuscenes_2d_head
+    from automoe_tpu.train import workloads as W
+    from automoe_tpu.train.workloads import carla_nuscenes_2d_workload
+
+    ref_mod = importlib.import_module("train_carla_nuscenes_expert_2d_ddp")
+    from models.experts.nuscenes_expert import NuScenesExpert as RefNu
+
+    Q = 12
+    base = RefNu(num_queries=4, use_lidar=False)
+    tmodel = ref_mod.ImageOnlyWrapper(base, num_queries=Q, num_classes=10)
+    for m in tmodel.modules():  # mlp Dropout(0.1): RNGs incomparable
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    monkeypatch.setattr(
+        W, "_det_kw",
+        lambda mdl: {"deterministic": True}
+        if "deterministic" in _inspect.signature(mdl.__call__).parameters
+        else {},
+    )
+    variables = import_nuscenes_2d_head(to_numpy_state_dict(tmodel))
+
+    tbatches, jbatches = _detection_fixtures(seed=19)
+
+    config = {
+        "learning_rate": LR, "weight_decay": 0.0, "epochs": N_EPOCHS,
+        "num_classes": 10, "bbox_loss_weight": 1.0,
+    }
+    trainer = ref_mod.Trainer(
+        tmodel, tbatches, tbatches, torch.device("cpu"), config, rank=1
+    )
+    trainer.optimizer = torch.optim.SGD(tmodel.parameters(), lr=LR)
+    trainer.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        trainer.optimizer, T_max=N_EPOCHS * N_BATCHES
+    )
+    ref_epoch_losses = [trainer.train_epoch(e) for e in range(N_EPOCHS)]
+
+    wl = carla_nuscenes_2d_workload(
+        num_queries=Q, image_size=HW, box_cap=NBOX, bbox_loss_weight=1.0,
+    )
+    tr, our_losses = _run_ours(
+        wl, jbatches, tmp_path, variables, optimizer="sgd", run_name="n2d"
+    )
+    our_epoch_losses = [
+        float(np.mean(our_losses[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    np.testing.assert_allclose(
+        our_epoch_losses, ref_epoch_losses, rtol=1e-3, atol=1e-4
+    )
+    final_vars = import_nuscenes_2d_head(to_numpy_state_dict(tmodel))
+    _assert_params_close(
+        {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+        final_vars, rtol=1e-3, atol=2e-4,
+    )
+
+
 @pytest.mark.slow
 def test_gating_adamw_trajectory_parity(tmp_path, monkeypatch):
     """The FLAGSHIP pipeline: the actual reference gating trainer
