@@ -187,6 +187,19 @@ class CarlaDetectionDataset(CarlaFrameDataset):
 
 
 class CarlaSegmentationDataset(CarlaFrameDataset):
+    """CARLA seg caches hold RAW simulator semantic IDs (the reference
+    preprocess stores them unremapped, scripts/preprocess_carla.py:80-89),
+    so IDs outside [0, num_classes) are expected — the reference trainer
+    sanitizes them to ignore-255 at loss time
+    (train_carla_bdd_experts_ddp.py:132-138). We sanitize at load time:
+    an out-of-range label reaching masked_cross_entropy would be CLAMPED
+    by XLA's take_along_axis into a silently wrong gradient, not ignored.
+    """
+
+    def __init__(self, split_dir, num_classes: int = 19):
+        super().__init__(split_dir)
+        self.num_classes = int(num_classes)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         s = _load_pt(self.files[idx])
         image = _image_hwc(s["image"])
@@ -195,6 +208,11 @@ class CarlaSegmentationDataset(CarlaFrameDataset):
             mask = np.full(image.shape[:2], 255, np.int32)
         else:
             mask = _normalize_mask(mask)
+            invalid = (mask < 0) | (
+                (mask >= self.num_classes) & (mask != 255)
+            )
+            if invalid.any():
+                mask = np.where(invalid, 255, mask).astype(np.int32)
         return {"image": image, "mask": mask}
 
 

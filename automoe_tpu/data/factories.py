@@ -159,12 +159,14 @@ def get_carla_detection_loader(
 
 def get_carla_segmentation_loader(
     split="train", batch_size=32, num_workers=4, shuffle=None,
-    root_dir=CARLA_ROOT, packed_root=None, **kw,
+    root_dir=CARLA_ROOT, packed_root=None, num_classes=19, **kw,
 ):
     if packed_root:
         ds = _packed_dataset(packed_root, split)
     else:
-        ds = CarlaSegmentationDataset(Path(root_dir) / split)
+        ds = CarlaSegmentationDataset(
+            Path(root_dir) / split, num_classes=num_classes
+        )
     return _mk_loader(ds, split, batch_size, num_workers, shuffle, **kw)
 
 

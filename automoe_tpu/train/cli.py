@@ -477,7 +477,11 @@ def main(argv=None):
     pf = sub.add_parser("finetune-carla")
     pf.add_argument("--task", choices=["detection", "segmentation", "drivable"],
                     required=True)
-    pf.add_argument("--bbox-loss-weight", type=float, default=2.0)
+    # the CARLA fine-tune trainer defaults bbox weight to 1.0, not the
+    # BDD trainer's 2.0 (train_carla_bdd_experts_ddp.py:128 vs
+    # train_bdd100k_ddp.py:185) — the loss recipes are otherwise
+    # identical (ignore-index CE == matched-only CE)
+    pf.add_argument("--bbox-loss-weight", type=float, default=1.0)
     _add_common(pf)
     pf.set_defaults(fn=cmd_finetune_carla)
 

@@ -182,6 +182,24 @@ def test_carla_detection_and_seg_and_drivable(carla_root):
     assert set(np.unique(bd["mask"])).issubset({0, 1, 2})
 
 
+def test_carla_seg_sanitizes_raw_ids(carla_root):
+    """CARLA seg caches hold RAW simulator IDs; anything outside
+    [0, num_classes) must become ignore-255 (the reference sanitizes at
+    loss time, train_carla_bdd_experts_ddp.py:132-138 — out-of-range
+    labels reaching masked CE would be clamped into wrong gradients,
+    not ignored)."""
+    seg = get_carla_segmentation_loader(
+        split="val", root_dir=str(carla_root), batch_size=4, num_workers=1,
+        shuffle=False, num_classes=3,
+    )
+    bs = next(iter(seg))
+    m = bs["mask"]
+    assert ((m >= 0) & ((m < 3) | (m == 255))).all(), np.unique(m)
+    # the fixture masks contain IDs >= 3 (raw CARLA range), so the
+    # sanitizer must actually have fired
+    assert (m == 255).any()
+
+
 def test_carla_drivable_matches_reference_remap(carla_root):
     import dataloaders.carla_drivable_loader as ref_mod
 

@@ -441,6 +441,89 @@ def test_nuscenes_sgd_trajectory_parity(tmp_path, monkeypatch):
     )
 
 
+def test_carla_finetune_sgd_trajectory_parity(tmp_path, monkeypatch):
+    """The actual CARLA fine-tune trainer
+    (training/train_carla_bdd_experts_ddp.py — matched-only detection
+    loss with bbox weight DEFAULT 1.0, vs the BDD trainer's 2.0;
+    out-of-range seg labels sanitized to ignore-255) vs our Trainer on
+    bdd_expert_workload with the finetune-carla CLI's defaults. Both the
+    detection task and the seg task with deliberately out-of-range
+    labels (raw CARLA IDs) run."""
+    torch.manual_seed(18)
+    ref_mod = importlib.import_module("train_carla_bdd_experts_ddp")
+
+    # --- detection: bbox weight 1.0 (the T4 default) ---
+    tbatches, jbatches = _detection_fixtures(seed=23)
+    tmodel = ref_mod.BDDDetectionExpert(
+        num_classes=10, pretrained_backbone=False
+    )
+    variables = ck.import_detection_expert(to_numpy_state_dict(tmodel))
+    config = {"learning_rate": LR, "weight_decay": 0.0, "epochs": N_EPOCHS}
+    trainer = ref_mod.Trainer(
+        "detection", tmodel, tbatches, tbatches, torch.device("cpu"),
+        config, rank=1,
+    )
+    trainer.optimizer = torch.optim.SGD(tmodel.parameters(), lr=LR)
+    trainer.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        trainer.optimizer, T_max=N_EPOCHS * N_BATCHES
+    )
+    ref_epoch_losses = [trainer.train_epoch(e) for e in range(N_EPOCHS)]
+
+    wl = bdd_expert_workload(
+        "detection", image_size=HW, box_cap=NBOX, matcher="hungarian",
+        bbox_loss_weight=1.0,  # finetune-carla CLI default (T4's)
+    )
+    tr, our_losses = _run_ours(
+        wl, jbatches, tmp_path, variables, optimizer="sgd", run_name="t4d"
+    )
+    our_epoch_losses = [
+        float(np.mean(our_losses[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    np.testing.assert_allclose(
+        our_epoch_losses, ref_epoch_losses, rtol=1e-3, atol=1e-4
+    )
+
+    # --- segmentation with raw out-of-range CARLA IDs ---
+    torch.manual_seed(19)
+    rng = np.random.default_rng(29)
+    tb, jb = [], []
+    for _ in range(N_BATCHES):
+        img = rng.normal(size=(B, 3, HW, HW)).astype(np.float32)
+        mask = rng.integers(0, 3, (B, HW, HW)).astype(np.int64)
+        mask[:, :3, :3] = 23  # raw CARLA semantic ID >= num_classes
+        tb.append({"image": torch.from_numpy(img),
+                   "mask": torch.from_numpy(mask)})
+        # our side: the LOADER sanitizes (CarlaSegmentationDataset);
+        # emulate its output here
+        jm = np.where(mask >= 3, 255, mask).astype(np.int32)
+        jb.append({"image": np.transpose(img, (0, 2, 3, 1)).copy(),
+                   "mask": jm})
+    tmodel2 = ref_mod.BDDDrivableExpert(
+        num_classes=3, pretrained_backbone=False
+    )
+    variables2 = ck.import_drivable_expert(to_numpy_state_dict(tmodel2))
+    trainer2 = ref_mod.Trainer(
+        "drivable", tmodel2, tb, tb, torch.device("cpu"), config, rank=1
+    )
+    trainer2.optimizer = torch.optim.SGD(tmodel2.parameters(), lr=LR)
+    trainer2.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        trainer2.optimizer, T_max=N_EPOCHS * N_BATCHES
+    )
+    ref2 = [trainer2.train_epoch(e) for e in range(N_EPOCHS)]
+
+    wl2 = bdd_expert_workload("drivable", image_size=HW)
+    tr2, ours2 = _run_ours(
+        wl2, jb, tmp_path, variables2, optimizer="sgd", run_name="t4s"
+    )
+    ours2_ep = [
+        float(np.mean(ours2[e * N_BATCHES:(e + 1) * N_BATCHES]))
+        for e in range(N_EPOCHS)
+    ]
+    # looser: the upsample-border divergence (ledgered) applies here
+    np.testing.assert_allclose(ours2_ep, ref2, rtol=2e-2, atol=2e-2)
+
+
 def test_nuscenes_2d_sgd_trajectory_parity(tmp_path, monkeypatch):
     """The actual nuScenes→CARLA 2D fine-tune trainer
     (training/train_carla_nuscenes_expert_2d_ddp.py — ImageOnlyWrapper,
