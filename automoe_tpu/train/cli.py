@@ -472,7 +472,11 @@ def main(argv=None):
                     required=True)
     pb.add_argument("--bbox-loss-weight", type=float, default=2.0)
     _add_common(pb)
-    pb.set_defaults(fn=cmd_bdd)
+    # per-trainer hyperparameter defaults mirror the reference argparse
+    # (train_bdd100k_ddp.py:443-446 etc.) — a user switching CLIs gets
+    # the same run without flags; presets/flags override as usual
+    pb.set_defaults(fn=cmd_bdd, epochs=50, batch_size=32,
+                    learning_rate=1e-4, weight_decay=1e-5)
 
     pf = sub.add_parser("finetune-carla")
     pf.add_argument("--task", choices=["detection", "segmentation", "drivable"],
@@ -483,7 +487,8 @@ def main(argv=None):
     # identical (ignore-index CE == matched-only CE)
     pf.add_argument("--bbox-loss-weight", type=float, default=1.0)
     _add_common(pf)
-    pf.set_defaults(fn=cmd_finetune_carla)
+    pf.set_defaults(fn=cmd_finetune_carla, epochs=20, batch_size=16,
+                    learning_rate=2e-4, weight_decay=1e-5)
 
     pn = sub.add_parser("nuscenes")
     pn.add_argument("--num-queries", type=int, default=100)
@@ -493,19 +498,24 @@ def main(argv=None):
     pn.add_argument("--lidar-cap", type=int, default=8192)
     pn.add_argument("--bbox-loss-weight", type=float, default=5.0)
     _add_common(pn)
-    pn.set_defaults(fn=cmd_nuscenes)
+    pn.set_defaults(fn=cmd_nuscenes, epochs=50, batch_size=32,
+                    learning_rate=1e-4, weight_decay=1e-5)
 
     p2 = sub.add_parser("nuscenes-2d")
     p2.add_argument("--num-queries", type=int, default=196)
     p2.add_argument("--bbox-loss-weight", type=float, default=1.0)
     _add_common(p2)
-    p2.set_defaults(fn=cmd_nuscenes_2d)
+    p2.set_defaults(fn=cmd_nuscenes_2d, epochs=10, batch_size=16,
+                    learning_rate=2e-4, weight_decay=1e-5)
 
     pp = sub.add_parser("policy")
     pp.add_argument("--horizon", type=int, default=8)
     pp.add_argument("--context-dim", type=int, default=0)
     _add_common(pp)
-    pp.set_defaults(fn=cmd_policy)
+    # the reference policy CLI defaults to epochs=0 (an explicit dry-run
+    # shape check, train_carla_policy.py:144) and AdamW(3e-4, wd 1e-4)
+    pp.set_defaults(fn=cmd_policy, epochs=0, batch_size=32,
+                    learning_rate=3e-4, weight_decay=1e-4)
 
     pg = sub.add_parser("gating")
     pg.add_argument("--model-config", default=None)
@@ -517,7 +527,8 @@ def main(argv=None):
                     help="dp: GSPMD data parallel; ep: one expert per "
                          "'model'-axis device (needs devices %% experts == 0)")
     _add_common(pg)
-    pg.set_defaults(fn=cmd_gating)
+    pg.set_defaults(fn=cmd_gating, epochs=100, batch_size=8,
+                    learning_rate=1e-4, weight_decay=1e-4)
 
     args = p.parse_args(argv)
     _init_backend(args)

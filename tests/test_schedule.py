@@ -135,8 +135,56 @@ def test_cli_schedule_defaults(monkeypatch):
     monkeypatch.setattr(tcli, "_init_backend", lambda args: None)
     monkeypatch.setattr(tcli, "_loaders", lambda *a, **kw: ([], []))
     with pytest.raises(SystemExit):
-        tcli.main(["policy", "--no-mesh"])
+        # --epochs 1: the policy default is 0 = the reference's dry-run
+        tcli.main(["policy", "--no-mesh", "--epochs", "1"])
     assert seen["cfg"].schedule == "constant"
     with pytest.raises(SystemExit):
         tcli.main(["bdd", "--task", "drivable", "--no-mesh"])
     assert seen["cfg"].schedule == "cosine"
+
+
+def test_cli_hyperparameter_defaults_mirror_reference(monkeypatch):
+    """Per-subcommand defaults == the reference trainers' argparse/config
+    defaults (train_bdd100k_ddp.py:443-446, train_nuscenes_expert_ddp.py:
+    243-253, train_carla_bdd_experts_ddp.py:247-252,
+    train_carla_nuscenes_expert_2d_ddp.py:209-214, train_carla_policy.py:
+    144-148 + AdamW(wd=1e-4) at :176, train_gating_network.py:261,281-282)
+    — a reference user switching CLIs gets the same run without flags."""
+    from automoe_tpu.train import cli as tcli
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, wl, train, val, cfg, mesh=None):
+            seen["cfg"] = cfg
+            raise SystemExit(0)
+
+    monkeypatch.setattr(tcli, "Trainer", FakeTrainer)
+    monkeypatch.setattr(tcli, "_init_backend", lambda args: None)
+    monkeypatch.setattr(tcli, "_loaders", lambda *a, **kw: ([], []))
+
+    expected = {
+        ("bdd", "--task", "detection"): (50, 1e-4, 1e-5),
+        ("finetune-carla", "--task", "detection"): (20, 2e-4, 1e-5),
+        ("nuscenes",): (50, 1e-4, 1e-5),
+        ("nuscenes-2d",): (10, 2e-4, 1e-5),
+        ("gating",): (100, 1e-4, 1e-4),
+    }
+    for argv, (ep, lr, wd) in expected.items():
+        with pytest.raises(SystemExit):
+            tcli.main([*argv, "--no-mesh"])
+        cfg = seen["cfg"]
+        assert (cfg.epochs, cfg.learning_rate, cfg.weight_decay) == \
+            (ep, lr, wd), argv
+
+    # policy: epochs=0 IS the reference default (an explicit dry-run
+    # shape check, train_carla_policy.py:144) — main returns the dry-run
+    # marker without ever constructing a Trainer
+    out = tcli.main(["policy", "--no-mesh", "--image-size", "32",
+                     "--horizon", "4"])
+    assert out == {"dry_run": True}
+    # lr/wd defaults reach TrainConfig once epochs > 0
+    with pytest.raises(SystemExit):
+        tcli.main(["policy", "--no-mesh", "--epochs", "1"])
+    cfg = seen["cfg"]
+    assert (cfg.learning_rate, cfg.weight_decay) == (3e-4, 1e-4)
