@@ -332,7 +332,9 @@ def main(argv=None):
     pv = sub.add_parser("visualize-detection")
     pv.add_argument("--source", choices=["bdd", "carla"], default="bdd")
     pv.add_argument("--max-images", type=int, default=16)
-    pv.add_argument("--topk", type=int, default=10)
+    # reference defaults: top-100 drawn at score >= 0.30
+    # (visualize_bdd100k_detection.py:92-93)
+    pv.add_argument("--topk", type=int, default=100)
     pv.add_argument("--threshold", type=float, default=0.3)
     common(pv)
     pv.set_defaults(fn=cmd_visualize)
