@@ -37,16 +37,21 @@ def run_closed_loop(
     engine: InferenceEngine,
     sim,
     *,
-    steps: int = 200,
+    steps: int = 2000,
     fixed_dt: float = 0.05,
     lookahead_m: float = 3.0,
-    default_start_kmh: float = 15.0,
-    bootstrap_steps: int = 40,
+    default_start_kmh: float = 20.0,
+    bootstrap_steps: int = 20,
+    kp: float = 0.4,
+    ki: float = 0.0,
+    kd: float = 0.02,
     out_dir: Optional[str] = None,
     save_frames: bool = False,
     record_every: int = 5,
 ):
-    speed_pid = PID(kp=0.08, ki=0.01, kd=0.0)
+    # defaults mirror the reference loop exactly (run_automoe.py:166-180:
+    # 2000 steps, start 20 km/h, 20 bootstrap steps, PID 0.4/0.0/0.02)
+    speed_pid = PID(kp=kp, ki=ki, kd=kd)
     logs = []
     frames_dir = None
     if out_dir:
@@ -139,9 +144,16 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Closed-loop AutoMoE on TPU")
     p.add_argument("--model-config", default=None)
     p.add_argument("--checkpoint", default=None, help="reference .pth or orbax dir")
-    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--fixed-dt", type=float, default=0.05)
     p.add_argument("--lookahead-m", type=float, default=3.0)
+    p.add_argument("--default-start-kmh", type=float, default=20.0,
+                   help="fallback target speed during bootstrap / when "
+                        "the model speed is unavailable")
+    p.add_argument("--bootstrap-steps", type=int, default=20)
+    p.add_argument("--kp", type=float, default=0.4)
+    p.add_argument("--ki", type=float, default=0.0)
+    p.add_argument("--kd", type=float, default=0.02)
     p.add_argument("--out-dir", default="infer_out")
     p.add_argument("--save-frames", action="store_true")
     p.add_argument("--export-gif", action="store_true")
@@ -189,6 +201,9 @@ def main(argv=None):
         steps=args.steps,
         fixed_dt=args.fixed_dt,
         lookahead_m=args.lookahead_m,
+        default_start_kmh=args.default_start_kmh,
+        bootstrap_steps=args.bootstrap_steps,
+        kp=args.kp, ki=args.ki, kd=args.kd,
         out_dir=args.out_dir,
         save_frames=args.save_frames or args.export_gif,
     )
