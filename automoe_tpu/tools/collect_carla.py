@@ -307,10 +307,12 @@ def collect_run(client, run_idx: int, args) -> dict:
 
 def main(argv=None):  # pragma: no cover - needs CARLA
     p = argparse.ArgumentParser(description="CARLA autopilot data collection")
-    p.add_argument("--runs", type=int, default=10)
-    p.add_argument("--duration", type=int, default=120)
-    p.add_argument("--vehicles", type=int, default=30)
-    p.add_argument("--walkers", type=int, default=10)
+    # defaults = the reference collector's module constants
+    # (collect_autopilot_data.py:7-13)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--duration", type=int, default=600)
+    p.add_argument("--vehicles", type=int, default=50)
+    p.add_argument("--walkers", type=int, default=30)
     p.add_argument("--output", default="datasets/carla/raw")
     p.add_argument("--save-every", type=int, default=5)
     p.add_argument("--continue-from", type=int, default=1)
