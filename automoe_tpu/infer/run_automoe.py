@@ -47,10 +47,11 @@ def run_closed_loop(
     kd: float = 0.02,
     out_dir: Optional[str] = None,
     save_frames: bool = False,
-    record_every: int = 5,
+    record_every: int = 1,
 ):
-    # defaults mirror the reference loop exactly (run_automoe.py:166-180:
-    # 2000 steps, start 20 km/h, 20 bootstrap steps, PID 0.4/0.0/0.02)
+    # defaults mirror the reference loop exactly (run_automoe.py:166-183:
+    # 2000 steps, start 20 km/h, 20 bootstrap steps, PID 0.4/0.0/0.02,
+    # record_every 1)
     speed_pid = PID(kp=kp, ki=ki, kd=kd)
     logs = []
     frames_dir = None
@@ -156,6 +157,8 @@ def main(argv=None):
     p.add_argument("--kd", type=float, default=0.02)
     p.add_argument("--out-dir", default="infer_out")
     p.add_argument("--save-frames", action="store_true")
+    p.add_argument("--record-every", type=int, default=1,
+                   help="save every Nth frame (reference --record_every)")
     p.add_argument("--export-gif", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 PTQ expert trunks (serving/quant.py)")
@@ -206,6 +209,7 @@ def main(argv=None):
         kp=args.kp, ki=args.ki, kd=args.kd,
         out_dir=args.out_dir,
         save_frames=args.save_frames or args.export_gif,
+        record_every=args.record_every,
     )
     if args.export_gif:
         export_gif(f"{args.out_dir}/frames", f"{args.out_dir}/run.gif")

@@ -17,5 +17,14 @@ IGNORE_INDEX = 255
 def segmentation_loss(
     logits: jnp.ndarray, masks: jnp.ndarray, *, ignore_index: int = IGNORE_INDEX
 ) -> Dict[str, jnp.ndarray]:
+    # Out-of-range labels → ignore, at loss time like the reference CARLA
+    # fine-tune trainer (train_carla_bdd_experts_ddp.py:132-138). The
+    # datasets sanitize raw CARLA IDs at load time too, but packed caches
+    # written before that fix (or by external tools) bypass the Dataset
+    # path — without this, take_along_axis would silently clamp e.g. raw
+    # ID 23 to the last class instead of ignoring it.
+    C = logits.shape[-1]
+    invalid = (masks < 0) | ((masks >= C) & (masks != ignore_index))
+    masks = jnp.where(invalid, ignore_index, masks)
     loss = masked_cross_entropy(logits, masks, ignore_index=ignore_index)
     return {"loss": loss}

@@ -182,7 +182,7 @@ def _init_watchdog(timeout_s: float = 180.0):
             "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
             "error": f"TPU backend init exceeded {timeout_s:.0f}s — "
                      "tunnel wedged; no measurement taken",
-        })),
+        }), flush=True),  # os._exit skips stdio flush; don't lose the line
         os._exit(3),
     ))
     fired.daemon = True

@@ -155,6 +155,32 @@ def test_segmentation_loss_parity(rng):
     np.testing.assert_allclose(float(out["loss"]), float(ref), rtol=1e-5)
 
 
+def test_segmentation_loss_sanitizes_out_of_range_labels(rng):
+    """Raw CARLA IDs (>= num_classes) and negatives are treated as ignore
+    at LOSS time, like the reference fine-tune trainer
+    (train_carla_bdd_experts_ddp.py:132-138) — covers packed caches that
+    bypass the Dataset-level sanitization."""
+    B, H, W, C = 2, 8, 8, 3
+    logits = rng.normal(size=(B, H, W, C)).astype(np.float32)
+    masks = rng.integers(0, C, size=(B, H, W)).astype(np.int64)
+    dirty = masks.copy()
+    dirty[0, 0] = 23   # raw CARLA semantic ID
+    dirty[0, 1] = -1
+    dirty[1, 0] = 255  # already-ignore stays ignore
+    clean = dirty.copy()
+    clean[0, 0] = 255
+    clean[0, 1] = 255
+    out_dirty = segmentation_loss(
+        jnp.asarray(logits), jnp.asarray(dirty.astype(np.int32))
+    )
+    ref = F.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(clean),
+        ignore_index=255,
+    )
+    np.testing.assert_allclose(float(out_dirty["loss"]), float(ref), rtol=1e-5)
+
+
 def test_policy_losses_parity(rng):
     B, H = 4, 10
     pred_wp = rng.normal(size=(B, H, 2)).astype(np.float32)

@@ -176,7 +176,9 @@ def _assert_params_close(ours, torch_final_vars, rtol, atol,
     for (pa, a), (pb, b) in zip(flat_a, flat_b):
         assert pa == pb
         a, b = np.asarray(a), np.asarray(b)
-        bad = np.abs(a - b) > (atol + rtol * np.abs(b))
+        # NaN/inf must count as mismatches: np.abs(nan-b) > tol is False,
+        # so a naive > comparison would pass a NaN-diverged trajectory.
+        bad = ~np.isclose(a, b, rtol=rtol, atol=atol, equal_nan=False)
         frac = float(bad.sum()) / max(1, bad.size)
         if frac > max_mismatch_frac:
             np.testing.assert_allclose(
