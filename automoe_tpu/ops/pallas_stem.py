@@ -14,7 +14,7 @@ outputs are 53 MB + 134 MB. This kernel keeps each conv row-block in
 VMEM, quantizes it there, pools it there, and only ever writes the
 pooled [B,64,64,256] int8 output:
 
-  * grid over the batch; per image, 4 row-chunks of 32 conv rows;
+  * grid over the batch; per image, 8 row-chunks of 16 conv rows;
   * the whole [hc+4, wp, 12] s2d image (444 KB at 256²) rides into VMEM
     as the grid step's input block — pallas pipelines the copies across
     batch elements, and the BlockSpec auto-copy is the one HBM→VMEM
@@ -24,10 +24,17 @@ pooled [B,64,64,256] int8 output:
   * the 4x4x12 conv is an im2col matmul: 16 shifted [R,128,12] slices
     concatenated along lanes -> P [R*128, 192] @ W [192, 256] on the
     MXU with f32 accumulation (same contraction as the XLA conv);
-  * bias + relu + per-channel round/clip/int8 on the VPU;
-  * the 3x3/s2 pool is 9 static shifted slices max'd in int8 (quantize
-    commutes with max, so pooled-int8 == int8-of-pooled exactly; row/col
-    -1 pads substitute 0, safe because relu'd quantized values are >= 0).
+  * bias + relu on the VPU in f32 (the XLA path's quantize reads the
+    f32 conv accumulator under --xla_allow_excess_precision — a bf16
+    round here costs 6-9% one-step flips, measured), then the 3x3/s2
+    pool as static shifted slices max'd in f32, then per-channel
+    round/clip/int8 on the POOLED tensor only (quantize commutes with
+    max — monotone — so pool-then-quantize == the XLA path's
+    quantize-then-pool; int8 max itself is un-lowerable on this Mosaic:
+    arith.maxsi on packed vector<8x128x4xi8> fails to legalize);
+    row/col -1 pads substitute 0, safe because relu'd values are >= 0;
+    16-row chunks keep the f32 temporaries inside the 16 MB
+    scoped-VMEM budget that binds under lax.scan/serving programs.
 
 The reference has no counterpart (fp32 CUDA serving,
 inference/run_automoe.py); this is the TPU-native serving fast path.
@@ -52,29 +59,45 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 32  # conv rows per chunk; H/2 must be a multiple
+_CHUNK = 16  # conv rows per chunk; H/2 must be a multiple. 16 (not 32)
+# keeps the f32 per-chunk temporaries inside the 16 MB scoped-VMEM limit
+# that applies when the kernel runs under lax.scan / the serving program
+# (measured on-chip: 32-row f32 chunks exceeded it by ~1 MB).
 
 
 def _pool_chunk(ck: jnp.ndarray) -> jnp.ndarray:
     """3x3/s2 maxpool of one conv chunk.
 
-    ck: [33, Wc, O] int8 — conv rows 2p0-1 .. 2p0+31 (row 0 is the
-    "row -1" of the window; the caller passes zeros for the global edge).
-    Returns [16, Wc//2, O].
+    ck: [_CHUNK+1, Wc, O] f32 — conv rows 2p0-1 .. 2p0+_CHUNK-1 (row 0
+    is the "row -1" of the window; the caller passes zeros for the
+    global edge). Returns [_CHUNK//2, Wc//2, O].
+
+    Runs in f32 BEFORE quantization: this Mosaic cannot legalize
+    `arith.maxsi` on packed int8 vregs (vector<8x128x4xi8> — probed on
+    the real chip), and because the quant map round(h*inv) with inv>0
+    is monotone, pool-then-quantize matches the XLA path's
+    quantize-then-pool exactly while touching 4x fewer elements in the
+    quant. f32 (not bf16) pooling is load-bearing for parity: with
+    --xla_allow_excess_precision the XLA path's quantize reads the f32
+    conv accumulator directly (the bf16 conversion is elided), so a
+    bf16 round anywhere before the quantize flips 6-9% of outputs by
+    one step (measured on-chip); in f32 the only residual is MXU
+    reduction order, ~1e-6 of elements at +-1.
     """
     r, wc, o = ck.shape
+    c = r - 1
     # columns: out q uses cols 2q-1, 2q, 2q+1
     a = ck.reshape(r, wc // 2, 2, o)
     a0, a1 = a[:, :, 0], a[:, :, 1]                      # cols 2q, 2q+1
     a1m = jnp.concatenate(                                # col 2q-1
         [jnp.zeros((r, 1, o), ck.dtype), a1[:, : wc // 2 - 1]], axis=1
     )
-    colmax = jnp.maximum(jnp.maximum(a0, a1), a1m)        # [33, Wc/2, O]
+    colmax = jnp.maximum(jnp.maximum(a0, a1), a1m)        # [c+1, Wc/2, O]
     # rows: out p' uses local rows 2p', 2p'+1, 2p'+2
-    b_ = colmax[0:32].reshape(16, 2, wc // 2, o)
+    b_ = colmax[0:c].reshape(c // 2, 2, wc // 2, o)
     b0, b1 = b_[:, 0], b_[:, 1]
-    b2 = colmax[1:33].reshape(16, 2, wc // 2, o)[:, 1]
-    return jnp.maximum(jnp.maximum(b0, b1), b2)           # [16, Wc/2, O]
+    b2 = colmax[1:c + 1].reshape(c // 2, 2, wc // 2, o)[:, 1]
+    return jnp.maximum(jnp.maximum(b0, b1), b2)           # [c/2, Wc/2, O]
 
 
 def _stem_kernel(xs_ref, w_ref, bias_ref, inv_ref, out_ref, p_buf,
@@ -88,7 +111,7 @@ def _stem_kernel(xs_ref, w_ref, bias_ref, inv_ref, out_ref, p_buf,
     # batch elements for free.
     n_chunks = hc // _CHUNK
     for t in range(n_chunks):  # static unroll: shapes differ at t=0
-        # chunk t consumes conv rows 32t-1..32t+31 -> xs rows 32t-1..32t+34;
+        # chunk t consumes conv rows Ct-1..Ct+C-1 -> xs rows Ct-1..Ct+C+2;
         # t=0 starts at row 0 (the missing row -1 is the zero edge row)
         start = max(0, _CHUNK * t - 1)
         r = _CHUNK if t == 0 else _CHUNK + 1
@@ -108,14 +131,81 @@ def _stem_kernel(xs_ref, w_ref, bias_ref, inv_ref, out_ref, p_buf,
             w_ref[:],
             preferred_element_type=jnp.float32,
         )
+        # Bias + relu stay in f32 on the raw accumulator — matching the
+        # XLA path, whose quantize reads the f32 conv accumulator under
+        # --xla_allow_excess_precision (any bf16 round here flips 6-9%
+        # of outputs by one quant step; measured on-chip).
         h = jnp.maximum(acc + bias_ref[0], 0.0)
-        q = jnp.clip(jnp.round(h * inv_ref[0]), -127.0, 127.0)
-        ck = q.astype(jnp.int8).reshape(r, wc, o)
+        ck = h.reshape(r, wc, o)
         if t == 0:  # global row -1: zeros are neutral (values >= 0)
             ck = jnp.concatenate(
-                [jnp.zeros((1, wc, o), jnp.int8), ck], axis=0
+                [jnp.zeros((1, wc, o), h.dtype), ck], axis=0
             )
-        out_ref[0, pl.ds(16 * t, 16)] = _pool_chunk(ck)
+        pooled = _pool_chunk(ck)  # f32 [_CHUNK/2, wc/2, o]
+        q = jnp.clip(jnp.round(pooled * inv_ref[0]), -127.0, 127.0)
+        out_ref[0, pl.ds(_CHUNK // 2 * t, _CHUNK // 2)] = q.astype(jnp.int8)
+
+
+def _pool_kernel(xq_ref, out_ref, *, h2: int, w2: int):
+    # xq_ref: [1, h2, w2, 128] int8 — one image's pre-pool tensor, one
+    # 128-lane channel slab (the slab grid keeps in+out+temps ~7 MB,
+    # far inside the 16 MB scoped-VMEM limit). Max runs in f32: int8
+    # max is un-lowerable on this Mosaic (arith.maxsi on packed i8
+    # vregs), and quantized relu'd values are integers in [0,127], so
+    # i8 -> f32 -> max -> i8 is exact.
+    n_chunks = h2 // _CHUNK
+    for t in range(n_chunks):  # static unroll: shapes differ at t=0
+        start = max(0, _CHUNK * t - 1)
+        r = _CHUNK if t == 0 else _CHUNK + 1
+        ck = xq_ref[0, start: start + r].astype(jnp.float32)
+        if t == 0:  # global row -1: zeros are neutral (values >= 0)
+            ck = jnp.concatenate(
+                [jnp.zeros((1, w2, 128), jnp.float32), ck], axis=0
+            )
+        pooled = _pool_chunk(ck)  # f32 [_CHUNK/2, w2/2, 128]
+        out_ref[0, pl.ds(_CHUNK // 2 * t, _CHUNK // 2)] = (
+            pooled.astype(jnp.int8)
+        )
+
+
+def maxpool3x3s2_int8(xq: jnp.ndarray, *, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """3x3/s2 SAME maxpool of a non-negative int8 tensor, as a Pallas
+    kernel: [B, H2, W2, O] int8 -> [B, H2/2, W2/2, O] int8.
+
+    Exactly `reduce_window(max, (1,3,3,1), (1,2,2,1), pad 1)` for
+    relu'd quantized inputs (values >= 0; the zero edge substitution is
+    neutral). XLA's own int8 reduce_window lowering runs 3.5x over the
+    HBM roofline on this toolchain (2.86 ms vs 0.82 at B=128/256² —
+    benchmarks/BENCHMARKS.md); this kernel streams 128-channel slabs
+    through VMEM and does the 9-point max as shifted slices in f32.
+    """
+    b_, h2, w2, o = xq.shape
+    if h2 % _CHUNK or w2 % 2 or o % 128:
+        raise ValueError(f"unsupported pool shape {(h2, w2, o)}")
+    return pl.pallas_call(
+        functools.partial(_pool_kernel, h2=h2, w2=w2),
+        grid=(b_, o // 128),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h2, w2, 128), lambda i, j: (i, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h2 // 2, w2 // 2, 128), lambda i, j: (i, 0, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b_, h2 // 2, w2 // 2, o), jnp.int8
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b_ * h2 * w2 * o * 5,
+            bytes_accessed=xq.size + xq.size // 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq)
 
 
 def s2d_stem_pool_int8(xs: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,

@@ -235,7 +235,7 @@ def _s2d_stem_kernel(w: np.ndarray) -> np.ndarray:
 
 def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
                  x: jnp.ndarray, dtype=jnp.bfloat16,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas=None):
     """All E float stems as ONE space-to-depth conv with int8 output
     BEFORE the maxpool.
 
@@ -278,17 +278,28 @@ def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
     )
     k = jnp.concatenate(ws, axis=-1)  # [4,4,12,64E]
     inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
-    # ops/pallas_stem.py holds a conv+quant+pool-fused kernel (the XLA
-    # lowering materializes the pre-pool [B,H/2,W/2,64E] int8 tensor and
-    # its maxpool alone costs more than the conv — 2.78 vs 2.13 ms at
-    # B=128, quant_stage_bench --micro). It is exact in interpret mode
-    # but this runtime's Mosaic cannot yet lower its im2col assembly
-    # (12-channel DMA/relayout limitations — probe results ledgered in
-    # benchmarks/BENCHMARKS.md), so it stays opt-in until the toolchain
-    # catches up.
+    # use_pallas: None = auto (pool kernel on TPU when shapes allow),
+    # False = pure XLA, "pool" = XLA conv+quant with the Pallas maxpool
+    # (ops/pallas_stem.py::maxpool3x3s2_int8 — XLA's int8 reduce_window
+    # runs 3.5x over the HBM roofline here), True = the fully fused
+    # conv+quant+pool kernel (lowers+runs since r3, but Mosaic's im2col
+    # tap stores cap it below the XLA conv, so it stays opt-in —
+    # measurements in benchmarks/BENCHMARKS.md).
     if use_pallas is None:
-        use_pallas = False
-    if use_pallas:
+        # auto-select: the pool-only kernel wherever its shape contract
+        # holds on a real TPU (XLA's int8 reduce_window runs 3.5x over
+        # the HBM roofline on this toolchain); the full fused kernel
+        # stays opt-in (it lowers+runs since r3 but Mosaic's im2col tap
+        # stores cap it below the XLA conv — BENCHMARKS.md).
+        supported = (
+            (H // 2) % 16 == 0 and (W // 2) % 2 == 0
+            and (E * C) % 128 == 0
+        )
+        use_pallas = (
+            "pool" if supported and jax.default_backend() == "tpu"
+            else False
+        )
+    if use_pallas is True:
         from automoe_tpu.ops.pallas_stem import s2d_stem_pool_int8
 
         bias = jnp.concatenate(bs).astype(jnp.float32)
@@ -304,10 +315,15 @@ def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
     hq = jnp.clip(
         jnp.round(h.astype(jnp.float32) * inv), -127, 127
     ).astype(jnp.int8)
-    hq = jax.lax.reduce_window(
-        hq, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    if use_pallas == "pool":
+        from automoe_tpu.ops.pallas_stem import maxpool3x3s2_int8
+
+        hq = maxpool3x3s2_int8(hq)
+    else:
+        hq = jax.lax.reduce_window(
+            hq, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
     return [(hq[..., i * C:(i + 1) * C], sis[i]) for i in range(E)]
 
 

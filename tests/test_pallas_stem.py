@@ -56,6 +56,54 @@ def test_pallas_stem_interpret_exact(rng):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pallas_maxpool_int8_interpret_exact(rng):
+    """Pool-only kernel == XLA reduce_window for relu'd quantized int8
+    (values >= 0; all shapes the serving path produces)."""
+    from automoe_tpu.ops.pallas_stem import maxpool3x3s2_int8
+
+    for B, H2, W2, O in ((2, 32, 32, 128), (1, 128, 128, 256)):
+        xq = jnp.asarray(
+            rng.integers(0, 128, size=(B, H2, W2, O)).astype(np.int8))
+        want = jax.lax.reduce_window(
+            xq, np.int8(-128), jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        got = maxpool3x3s2_int8(xq, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_stem_pool_mode_via_stems_s2d_q8(rng):
+    """stems_s2d_q8(use_pallas='pool') == the pure-XLA path bit-for-bit
+    (same conv+quant, exact max either way)."""
+    import automoe_tpu.ops.pallas_stem as ps
+    from automoe_tpu.serving.quant import stems_s2d_q8
+
+    rng_ = np.random.default_rng(7)
+    qpacks, scales = [], []
+    for _ in range(2):
+        qpacks.append({"conv1": {
+            "w": rng_.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1,
+            "b": rng_.normal(size=(64,)).astype(np.float32) * 0.1,
+        }})
+        scales.append({"layer1_0/conv1": float(abs(rng_.normal()) * 4 + 4)})
+    x = jnp.asarray(rng_.normal(size=(2, 64, 64, 3)).astype(np.float32))
+
+    orig = ps.maxpool3x3s2_int8
+    try:
+        ps.maxpool3x3s2_int8 = (
+            lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        )
+        got = stems_s2d_q8(qpacks, scales, x, dtype=jnp.float32,
+                           use_pallas="pool")
+    finally:
+        ps.maxpool3x3s2_int8 = orig
+    want = stems_s2d_q8(qpacks, scales, x, dtype=jnp.float32,
+                        use_pallas=False)
+    for (gq, gs), (wq, ws) in zip(got, want):
+        assert gs == ws
+        np.testing.assert_array_equal(np.asarray(gq), np.asarray(wq))
+
+
 def test_pallas_stem_via_stems_s2d_q8(rng):
     """stems_s2d_q8(use_pallas=True) returns the same per-expert int8
     pooled tensors and scales as the XLA path (interpret-mode run is
