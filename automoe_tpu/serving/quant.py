@@ -278,27 +278,20 @@ def stems_s2d_q8(qpacks: Sequence[Dict], scales: Sequence[Dict[str, float]],
     )
     k = jnp.concatenate(ws, axis=-1)  # [4,4,12,64E]
     inv = np.repeat(np.asarray([1.0 / s for s in sis], np.float32), C)
-    # use_pallas: None = auto (pool kernel on TPU when shapes allow),
-    # False = pure XLA, "pool" = XLA conv+quant with the Pallas maxpool
-    # (ops/pallas_stem.py::maxpool3x3s2_int8 — XLA's int8 reduce_window
-    # runs 3.5x over the HBM roofline here), True = the fully fused
-    # conv+quant+pool kernel (lowers+runs since r3, but Mosaic's im2col
-    # tap stores cap it below the XLA conv, so it stays opt-in —
-    # measurements in benchmarks/BENCHMARKS.md).
+    # use_pallas: None/False = pure XLA (the measured best on this
+    # toolchain), "pool" = XLA conv+quant with the Pallas maxpool
+    # (ops/pallas_stem.py::maxpool3x3s2_int8), True = the fully fused
+    # conv+quant+pool kernel. Both Pallas variants lower AND run on
+    # this runtime's Mosaic since r3 — but both measure SLOWER than
+    # XLA (B=32 stems: XLA 1.41 ms, conv+pallas-pool 4.53, fused 4.34;
+    # the pool's sublane-pair unpack and the fused kernel's 16 im2col
+    # tap stores are relayout-bound on the VPU), so XLA's int8
+    # reduce_window — itself 3.5x over the HBM roofline — remains the
+    # best available lowering. Full ceiling analysis in
+    # benchmarks/BENCHMARKS.md; the kernels stay as measured,
+    # exactness-pinned starting points for future toolchains.
     if use_pallas is None:
-        # auto-select: the pool-only kernel wherever its shape contract
-        # holds on a real TPU (XLA's int8 reduce_window runs 3.5x over
-        # the HBM roofline on this toolchain); the full fused kernel
-        # stays opt-in (it lowers+runs since r3 but Mosaic's im2col tap
-        # stores cap it below the XLA conv — BENCHMARKS.md).
-        supported = (
-            (H // 2) % 16 == 0 and (W // 2) % 2 == 0
-            and (E * C) % 128 == 0
-        )
-        use_pallas = (
-            "pool" if supported and jax.default_backend() == "tpu"
-            else False
-        )
+        use_pallas = False
     if use_pallas is True:
         from automoe_tpu.ops.pallas_stem import s2d_stem_pool_int8
 
