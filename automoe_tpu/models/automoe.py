@@ -89,7 +89,24 @@ class AutoMoE(nn.Module):
         *,
         train: bool = False,
         deterministic: bool = True,
+        experts_eval: bool = False,
+        cached_pooled: Any = None,
     ) -> Dict[str, Any]:
+        """experts_eval: run the (frozen) experts in eval mode — BN uses
+        running stats and stops accumulating — while the trainable parts
+        keep train-mode semantics. The reference's gating trainer runs
+        experts train-mode (torch `requires_grad=False` does not stop BN
+        stat drift, train_gating_network.py:226-233 + model.train()); this
+        is the standard frozen-BN alternative and the semantics the
+        feature cache below reproduces exactly.
+
+        cached_pooled: list of per-expert POOLED extractor inputs (the
+        parameter-free pool/flatten of each expert's output, see
+        train/feature_cache.py). When given, the expert trunks are skipped
+        entirely and the extractor MLP heads consume these directly —
+        `expert_outputs` in the result is then an empty list. Implies
+        experts_eval semantics (the cache is computed in eval mode).
+        """
         cfg = self.config
         image = batch["image"]  # [B,H,W,3]
         if image.ndim != 4 or image.shape[-1] != 3:
@@ -127,28 +144,44 @@ class AutoMoE(nn.Module):
             context_features = ctx_extractor(context_data, deterministic=deterministic)
 
         # --- experts (dense execution; unrolls into one fused graph) ---
+        expert_train = train and not experts_eval
         expert_outputs: List[Any] = []
-        for i, ecfg in enumerate(cfg.experts):
-            expert = _make_expert(
-                ecfg, self.dtype, name=f"expert_{i}",
-                upsample=not self.fast_gating_pool,
-            )
-            if ecfg.type == "nuscenes":
-                lidar = batch.get("lidar")
-                if lidar is None:
-                    lidar = jnp.zeros((B, 1000, 3), image.dtype)
-                out = expert(
-                    {"image": image, "lidar": lidar},
-                    train=train,
-                    deterministic=deterministic,
+        if cached_pooled is None:
+            for i, ecfg in enumerate(cfg.experts):
+                expert = _make_expert(
+                    ecfg, self.dtype, name=f"expert_{i}",
+                    upsample=not self.fast_gating_pool,
                 )
-            else:
-                out = expert(image, train=train)
-            expert_outputs.append(out)
+                if ecfg.type == "nuscenes":
+                    lidar = batch.get("lidar")
+                    if lidar is None:
+                        lidar = jnp.zeros((B, 1000, 3), image.dtype)
+                    out = expert(
+                        {"image": image, "lidar": lidar},
+                        train=expert_train,
+                        # experts_eval = torch .eval() semantics for the
+                        # frozen experts: BN running stats AND dropout off
+                        # (the default — train-mode experts, live dropout —
+                        # is the reference's model.train() behavior)
+                        deterministic=deterministic or experts_eval,
+                    )
+                else:
+                    out = expert(image, train=expert_train)
+                expert_outputs.append(out)
 
         # --- uniform features + gating ---
         expert_features = []
-        for i, (ecfg, out) in enumerate(zip(cfg.experts, expert_outputs)):
+        for i, ecfg in enumerate(cfg.experts):
+            if cached_pooled is not None:
+                expert_features.append(
+                    make_extractor(ecfg, self.dtype, name=f"extractor_{i}")(
+                        None,
+                        deterministic=deterministic,
+                        pooled=jnp.asarray(cached_pooled[i], self.dtype),
+                    )
+                )
+                continue
+            out = expert_outputs[i]
             pool_uv = None
             if self.fast_gating_pool and ecfg.type in ("segmentation",
                                                        "drivable"):
@@ -225,6 +258,66 @@ def expert_param_mask(params: Dict, frozen: bool = True) -> Dict:
         k: (not k[0].startswith("expert_")) if frozen else True for k in flat
     }
     return flax.traverse_util.unflatten_dict(mask)
+
+
+def automoe_pooled_features(model: AutoMoE, variables, batch) -> List[jnp.ndarray]:
+    """Eval-mode expert forward + the extractors' parameter-free pooling,
+    WITHOUT the extractor MLPs — the per-sample quantity the frozen-expert
+    feature cache stores (train/feature_cache.py).
+
+    Per expert type (mirrors the extractor pooling, extractors.py):
+      detection  → mean_{H,W} concat(class_logits, bbox_deltas)   [B, C+4]
+      seg/drv    → exact mean-of-resize pool of the LOW-RES logits [B, C]
+                   (u^T x v == GAP of the full-res upsampled map;
+                   ops/resize.py mean_of_resize_weights)
+      nuscenes   → flatten concat(class_logits, bbox_preds)  [B, Q*(C+bb)]
+
+    Jit the caller; the function is pure in (variables, batch).
+    """
+    from automoe_tpu.ops.resize import mean_of_resize_weights
+
+    cfg = model.config
+    image = batch["image"]
+    B = image.shape[0]
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    pooled: List[jnp.ndarray] = []
+    for i, ecfg in enumerate(cfg.experts):
+        name = f"expert_{i}"
+        evars = {"params": params[name]}
+        if name in stats:
+            evars["batch_stats"] = stats[name]
+        if ecfg.type == "nuscenes":
+            expert = _make_expert(ecfg, model.dtype, name=name)
+            lidar = batch.get("lidar")
+            if lidar is None:
+                lidar = jnp.zeros((B, 1000, 3), image.dtype)
+            out = expert.apply(
+                evars, {"image": image, "lidar": lidar}, train=False
+            )
+            combined = jnp.concatenate(
+                [out["class_logits"], out["bbox_preds"]], axis=-1
+            )
+            pooled.append(combined.reshape(B, -1))
+        elif ecfg.type == "detection":
+            expert = _make_expert(ecfg, model.dtype, name=name)
+            out = expert.apply(evars, image, train=False)
+            combined = jnp.concatenate(
+                [out["class_logits"], out["bbox_deltas"]], axis=-1
+            )
+            pooled.append(jnp.mean(combined, axis=(1, 2)))
+        else:  # segmentation / drivable: pool low-res, skip the upsample
+            expert = _make_expert(ecfg, model.dtype, name=name, upsample=False)
+            out = expert.apply(evars, image, train=False)
+            u, v = mean_of_resize_weights(
+                out.shape[1], out.shape[2], image.shape[1], image.shape[2],
+                False,
+            )
+            pooled.append(
+                jnp.einsum("h,bhwc,w->bc", jnp.asarray(u, out.dtype), out,
+                           jnp.asarray(v, out.dtype))
+            )
+    return [p.astype(jnp.float32) for p in pooled]
 
 
 def automoe_context_weights(model: AutoMoE, variables, batch):

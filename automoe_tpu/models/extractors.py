@@ -4,6 +4,12 @@ Parity with reference models/experts/expert_extractors.py:20-156: dense
 maps are globally average-pooled then pushed through Linear(→512)-ReLU-
 Dropout(0.1)-Linear(→out)-LayerNorm; nuScenes query outputs are flattened
 to [B, Q*(C+bbox_dim)] first.
+
+Every extractor splits as (parameter-free pool/flatten) → (trainable MLP
+head). The `pooled=` kwarg feeds the head directly, skipping the pool —
+the hook the frozen-expert feature cache uses to train gating without
+re-running the expert trunks (train/feature_cache.py). Parameter
+structure is identical either way.
 """
 from __future__ import annotations
 
@@ -49,12 +55,15 @@ class DetectionExpertExtractor(nn.Module):
 
     @nn.compact
     def __call__(
-        self, expert_output: Dict[str, jnp.ndarray], *, deterministic: bool = True
+        self, expert_output, *, deterministic: bool = True,
+        pooled: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        combined = jnp.concatenate(
-            [expert_output["class_logits"], expert_output["bbox_deltas"]], axis=-1
-        )  # [B,H,W,C+4]
-        pooled = jnp.mean(combined, axis=(1, 2))  # [B,C+4]
+        if pooled is None:
+            combined = jnp.concatenate(
+                [expert_output["class_logits"], expert_output["bbox_deltas"]],
+                axis=-1,
+            )  # [B,H,W,C+4]
+            pooled = jnp.mean(combined, axis=(1, 2))  # [B,C+4]
         return _MLPHead(
             "det", self.output_dim, self.dtype, name="head"
         )(pooled, deterministic=deterministic)
@@ -67,8 +76,10 @@ class SegmentationExpertExtractor(nn.Module):
     pool_uv: Optional[Tuple] = None  # exact low-res pooling (serving)
 
     @nn.compact
-    def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
-        pooled = _pool(expert_output, self.pool_uv)  # [B,num_classes]
+    def __call__(self, expert_output, *, deterministic: bool = True,
+                 pooled: Optional[jnp.ndarray] = None):
+        if pooled is None:
+            pooled = _pool(expert_output, self.pool_uv)  # [B,num_classes]
         return _MLPHead(
             "seg", self.output_dim, self.dtype, name="head"
         )(pooled, deterministic=deterministic)
@@ -81,8 +92,10 @@ class DrivableExpertExtractor(nn.Module):
     pool_uv: Optional[Tuple] = None
 
     @nn.compact
-    def __call__(self, expert_output: jnp.ndarray, *, deterministic: bool = True):
-        pooled = _pool(expert_output, self.pool_uv)
+    def __call__(self, expert_output, *, deterministic: bool = True,
+                 pooled: Optional[jnp.ndarray] = None):
+        if pooled is None:
+            pooled = _pool(expert_output, self.pool_uv)
         return _MLPHead(
             "drv", self.output_dim, self.dtype, name="head"
         )(pooled, deterministic=deterministic)
@@ -97,15 +110,18 @@ class NuScenesExpertExtractor(nn.Module):
 
     @nn.compact
     def __call__(
-        self, expert_output: Dict[str, jnp.ndarray], *, deterministic: bool = True
+        self, expert_output, *, deterministic: bool = True,
+        pooled: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        combined = jnp.concatenate(
-            [expert_output["class_logits"], expert_output["bbox_preds"]], axis=-1
-        )  # [B,Q,C+bbox]
-        flattened = combined.reshape(combined.shape[0], -1)
+        if pooled is None:
+            combined = jnp.concatenate(
+                [expert_output["class_logits"], expert_output["bbox_preds"]],
+                axis=-1,
+            )  # [B,Q,C+bbox]
+            pooled = combined.reshape(combined.shape[0], -1)
         return _MLPHead(
             "nusc", self.output_dim, self.dtype, name="head"
-        )(flattened, deterministic=deterministic)
+        )(pooled, deterministic=deterministic)
 
 
 ExtractorOutput = Union[jnp.ndarray, Dict[str, jnp.ndarray]]

@@ -364,6 +364,23 @@ def cmd_gating(args):
         print("[cli] --qat: no effect for gating (experts are frozen "
               "pre-trained weights here; QAT belongs to the expert "
               "trainers whose checkpoints feed this stage)")
+    if args.cache_expert_features:
+        if args.unfreeze_experts:
+            raise SystemExit(
+                "--cache-expert-features requires frozen experts (the "
+                "cache is one eval pass over fixed weights); drop "
+                "--unfreeze-experts"
+            )
+        if args.parallelism == "ep":
+            raise SystemExit(
+                "--cache-expert-features removes the expert compute that "
+                "--parallelism ep distributes; pick one"
+            )
+        if args.spatial or args.tp_min_dim > 0:
+            raise SystemExit(
+                "--cache-expert-features supports data parallelism only "
+                "(--spatial/--tp-min-dim shard the expert compute it skips)"
+            )
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 
@@ -396,6 +413,7 @@ def cmd_gating(args):
         wl = W.gating_workload(
             model_cfg, loss_config=loss_cfg, image_size=args.image_size,
             freeze_experts=not args.unfreeze_experts, dtype=_dtype(args),
+            cache_features=args.cache_expert_features,
         )
         mesh = _mesh(args)
     train, val = _loaders(
@@ -418,6 +436,19 @@ def cmd_gating(args):
         trainer.state = trainer.state.replace(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
+        )
+    if args.cache_expert_features:
+        # one eval pass over each dataset AFTER the expert graft/restore —
+        # the cache must see the final frozen weights; every later train
+        # and val step then skips the four expert trunks entirely
+        from automoe_tpu.train.feature_cache import attach_pooled_features
+
+        attach_pooled_features(
+            wl.model,
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            train, val,
+            batch_size=args.batch_size,
         )
     return trainer.fit(_args_dump(args))
 
@@ -526,6 +557,11 @@ def main(argv=None):
     pg.add_argument("--parallelism", choices=["dp", "ep"], default="dp",
                     help="dp: GSPMD data parallel; ep: one expert per "
                          "'model'-axis device (needs devices %% experts == 0)")
+    pg.add_argument("--cache-expert-features", action="store_true",
+                    help="precompute the frozen experts' pooled gating "
+                         "features in one eval pass, then train WITHOUT "
+                         "re-running the expert trunks (~3x step time; "
+                         "frozen-BN semantics — train/feature_cache.py)")
     _add_common(pg)
     pg.set_defaults(fn=cmd_gating, epochs=100, batch_size=8,
                     learning_rate=1e-4, weight_decay=1e-4)

@@ -57,12 +57,13 @@ class Workload:
         return jax.jit(lambda k: self.model.init(k, *args))(rng)
 
 
-def _apply(model, params, batch_stats, args, rng, train, needs_rngs=("dropout",)):
+def _apply(model, params, batch_stats, args, rng, train, needs_rngs=("dropout",),
+           extra_kwargs=None):
     """Run a flax module handling BN mutability + dropout RNG threading."""
+    extra = dict(extra_kwargs or {})
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    kwargs: Dict[str, Any] = {}
     if train:
         rngs = {name: jax.random.fold_in(rng, i) for i, name in enumerate(needs_rngs)}
         out, updates = model.apply(
@@ -72,9 +73,10 @@ def _apply(model, params, batch_stats, args, rng, train, needs_rngs=("dropout",)
             mutable=["batch_stats"],
             rngs=rngs,
             **_det_kw(model),
+            **extra,
         )
         return out, updates.get("batch_stats", batch_stats)
-    out = model.apply(variables, *args, train=False)
+    out = model.apply(variables, *args, train=False, **extra)
     return out, batch_stats
 
 
@@ -370,6 +372,17 @@ def policy_workload(
 # Gating network (full AutoMoE, frozen experts)
 # ---------------------------------------------------------------------------
 
+def pooled_feature_dim(ecfg) -> int:
+    """Width of an expert's parameter-free pooled extractor input
+    (models/extractors.py pooling; models/automoe.py
+    automoe_pooled_features)."""
+    if ecfg.type == "detection":
+        return ecfg.num_classes + 4
+    if ecfg.type in ("segmentation", "drivable"):
+        return ecfg.num_classes
+    return ecfg.num_queries * (ecfg.num_classes + ecfg.bbox_dim)
+
+
 def gating_workload(
     model_config: Any,
     *,
@@ -377,16 +390,33 @@ def gating_workload(
     image_size: int = 256,
     freeze_experts: bool = True,
     dtype=jnp.float32,
+    cache_features: bool = False,
+    experts_eval: bool = False,
 ) -> Workload:
     """Gating training over the full AutoMoE (train_gating_network.py):
     experts frozen (stop-gradient via optimizer mask), gating + extractors +
-    context + policy train."""
+    context + policy train.
+
+    experts_eval: frozen experts run in eval mode (frozen BN) instead of
+    the reference's train-mode BN — see train/feature_cache.py.
+    cache_features: skip the expert trunks entirely; batches must carry
+    `expert_pooled_{i}` keys (PooledFeatureDataset). Implies experts_eval
+    semantics and is exactly equivalent to it (tests/test_feature_cache.py).
+    """
     cfg: AutoMoEConfig = load_model_config(model_config)
     model = create_automoe_model(cfg, dtype=dtype)
     horizon = cfg.policy.num_waypoints
     lcfg = dict(loss_config or {})
+    n_experts = len(cfg.experts)
+    pooled_names = [f"expert_pooled_{i}" for i in range(n_experts)]
 
     def loss_fn(params, batch_stats, batch, rng, train):
+        extra: Dict[str, Any] = {}
+        if cache_features:
+            extra["cached_pooled"] = [batch[k] for k in pooled_names]
+            batch = {k: v for k, v in batch.items() if k not in pooled_names}
+        elif experts_eval:
+            extra["experts_eval"] = True
         out, new_stats = _apply(
             model,
             params,
@@ -395,7 +425,15 @@ def gating_workload(
             rng,
             train,
             needs_rngs=("dropout", "gating"),
+            extra_kwargs=extra,
         )
+        if cache_features and train:
+            # skipped expert modules drop out of the mutable batch_stats
+            # collection — merge their (frozen, untouched) subtrees back so
+            # the train state / checkpoints keep the full stats tree
+            merged = dict(batch_stats)
+            merged.update(new_stats)
+            new_stats = merged
         res = gating_losses(out, batch["waypoints"], batch["speed"], lcfg)
         metrics = {k: v for k, v in res.items() if k != "total_loss"}
         return res["total_loss"], (metrics, new_stats)
@@ -409,6 +447,11 @@ def gating_workload(
         "brake": np.zeros((2, horizon), jnp.float32),
         "waypoints": np.zeros((2, horizon, 2), jnp.float32),
     }
+    if cache_features:
+        for i, ecfg in enumerate(cfg.experts):
+            example[pooled_names[i]] = np.zeros(
+                (2, pooled_feature_dim(ecfg)), np.float32
+            )
     mask_fn = (lambda params: expert_param_mask(params, frozen=True)) if freeze_experts else None
     return Workload(
         "gating", model, loss_fn, example,

@@ -1,0 +1,248 @@
+"""Frozen-expert feature cache (train/feature_cache.py).
+
+The gating extractors split as (parameter-free pool) → (trainable MLP)
+(models/extractors.py), so one eval pass caching the pooled expert
+outputs is a complete substitute for re-running the frozen trunks every
+step. These tests pin:
+  * cached forward ≡ full eval forward (exact semantics, fp pooling-route
+    tolerance — the cache pools low-res logits with the exact
+    mean-of-resize weights while the default model GAPs the upsampled map);
+  * cached train step ≡ experts_eval train step (same trainable updates,
+    expert params/stats bit-untouched in both);
+  * precompute/Dataset plumbing (tail padding, per-sample keys);
+  * the end-to-end CLI path (`gating --cache-expert-features`).
+
+Reference: the torch AutoMoE recomputes experts inside every gating DDP
+step (models/automoe.py:156-187, train_gating_network.py:76-105); the
+cache is an optimization it cannot express.
+"""
+from __future__ import annotations
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from automoe_tpu.models.automoe import (
+    automoe_pooled_features,
+    expert_param_mask,
+)
+from automoe_tpu.train.feature_cache import (
+    PooledFeatureDataset,
+    pooled_keys,
+    precompute_pooled_features,
+)
+from automoe_tpu.train.state import TrainState, make_optimizer
+from automoe_tpu.train.step import make_train_step
+from automoe_tpu.train.workloads import gating_workload, pooled_feature_dim
+
+MODEL_CFG = {
+    "experts": [
+        {"type": "detection", "num_classes": 10},
+        {"type": "segmentation", "num_classes": 19},
+        {"type": "drivable", "num_classes": 3},
+        {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+         "fusion": "sum", "use_lidar": False},
+    ],
+    "gating": {"top_k": 0, "noise_scale": 0.0},
+    "context": {"type": "simple"},
+    "policy": {"num_waypoints": 4},
+}
+S = 32  # image size
+
+
+def _batch(rng, n=4, horizon=4):
+    return {
+        "image": rng.normal(size=(n, S, S, 3)).astype(np.float32),
+        "speed": rng.uniform(0, 10, (n, horizon)).astype(np.float32),
+        "steering": rng.normal(size=(n, horizon)).astype(np.float32),
+        "throttle": rng.uniform(0, 1, (n, horizon)).astype(np.float32),
+        "brake": np.zeros((n, horizon), np.float32),
+        "waypoints": rng.normal(size=(n, horizon, 2)).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def wl():
+    return gating_workload(MODEL_CFG, image_size=S)
+
+
+@pytest.fixture(scope="module")
+def variables(wl):
+    return wl.init_variables(jax.random.key(0))
+
+
+def test_pooled_dims_and_forward_equivalence(wl, variables, rng):
+    batch = _batch(rng)
+    pooled = automoe_pooled_features(wl.model, variables, batch)
+    dims = [pooled_feature_dim(e) for e in wl.model.config.experts]
+    assert [p.shape for p in pooled] == [(4, d) for d in dims]
+
+    out_full = wl.model.apply(variables, batch, train=False)
+    out_cached = wl.model.apply(
+        variables, batch, train=False, cached_pooled=pooled
+    )
+    assert out_cached["expert_outputs"] == []
+    for key in ("waypoints", "speed_seq", "expert_weights", "gate_logits",
+                "combined_features"):
+        np.testing.assert_allclose(
+            np.asarray(out_full[key]), np.asarray(out_cached[key]),
+            rtol=2e-4, atol=2e-5, err_msg=key,
+        )
+
+
+def test_cached_train_step_equals_experts_eval(variables, rng):
+    wl_ee = gating_workload(MODEL_CFG, image_size=S, experts_eval=True)
+    wl_c = gating_workload(MODEL_CFG, image_size=S, cache_features=True)
+    batch = _batch(rng)
+    pooled = automoe_pooled_features(wl_ee.model, variables, batch)
+    batch_c = dict(batch)
+    for k, p in zip(pooled_keys(4), pooled):
+        batch_c[k] = np.asarray(p)
+
+    # host copies: the train step donates the state, so each run needs its
+    # own device buffers
+    import jax.numpy as jnp
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+    mask = expert_param_mask(params, frozen=True)
+
+    def run(wl, b):
+        tx = make_optimizer(
+            learning_rate=1e-3, weight_decay=1e-4, total_steps=10,
+            trainable_mask=mask,
+        )
+        state = TrainState.create(
+            params=jax.tree.map(jnp.asarray, params), tx=tx,
+            batch_stats=jax.tree.map(jnp.asarray, stats),
+        )
+        step = make_train_step(wl.loss_fn)
+        new_state, metrics = step(state, b, jax.random.key(7))
+        return new_state, metrics
+
+    st_ee, m_ee = run(wl_ee, batch)
+    st_c, m_c = run(wl_c, batch_c)
+
+    np.testing.assert_allclose(
+        float(m_ee["loss"]), float(m_c["loss"]), rtol=1e-5
+    )
+    # trainable updates match; frozen expert subtrees bit-untouched in both
+    flat_ee = jax.tree_util.tree_flatten_with_path(st_ee.params)[0]
+    flat_c = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(st_c.params)[0]}
+    flat_0 = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(params)[0]}
+    for path, leaf_ee in flat_ee:
+        name = jax.tree_util.keystr(path)
+        leaf_c = flat_c[name]
+        if name.startswith("['expert_"):
+            np.testing.assert_array_equal(np.asarray(leaf_ee), flat_0[name])
+            np.testing.assert_array_equal(np.asarray(leaf_c), flat_0[name])
+        else:
+            # pooling-route fp noise (exact-mean-of-resize vs GAP-of-
+            # upsample) is amplified by Adam's per-element rescaling
+            np.testing.assert_allclose(
+                np.asarray(leaf_ee), np.asarray(leaf_c),
+                rtol=1e-3, atol=1e-4, err_msg=name,
+            )
+    # the cached step keeps the FULL batch_stats tree (skipped experts
+    # merged back) — same treedef, expert stats unchanged
+    assert jax.tree_util.tree_structure(st_c.batch_stats) == \
+        jax.tree_util.tree_structure(st_ee.batch_stats)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+        st_c.batch_stats
+    )[0]:
+        name = jax.tree_util.keystr(path)
+        if name.startswith("['expert_"):
+            ref = dict(
+                (jax.tree_util.keystr(k), v) for k, v in
+                jax.tree_util.tree_flatten_with_path(stats)[0]
+            )[name]
+            np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref))
+
+
+class _TinyDataset:
+    def __init__(self, rng, n=5, horizon=4):
+        self.samples = [
+            {
+                "image": rng.normal(size=(S, S, 3)).astype(np.float32),
+                "speed": rng.uniform(0, 10, (horizon,)).astype(np.float32),
+                "waypoints": rng.normal(size=(horizon, 2)).astype(np.float32),
+            }
+            for _ in range(n)
+        ]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        return dict(self.samples[idx])
+
+
+def test_precompute_and_dataset_wrapper(wl, variables, rng):
+    ds = _TinyDataset(rng, n=5)
+    feats = precompute_pooled_features(
+        wl.model, variables, ds, batch_size=3, verbose=False
+    )  # 5 samples at batch 3 exercises the padded tail
+    images = np.stack([ds[i]["image"] for i in range(5)])
+    direct = automoe_pooled_features(wl.model, variables, {"image": images})
+    for f, d in zip(feats, direct):
+        np.testing.assert_allclose(f, np.asarray(d), rtol=1e-5, atol=1e-6)
+
+    wrapped = PooledFeatureDataset(ds, feats)
+    assert len(wrapped) == 5
+    s = wrapped[2]
+    for i, key in enumerate(pooled_keys(4)):
+        np.testing.assert_array_equal(s[key], feats[i][2])
+    assert not hasattr(ds, "read_batch") and not hasattr(wrapped, "read_batch")
+
+
+def test_cli_gating_cache_smoke(tmp_path, rng):
+    import torch
+
+    from tests.test_data import _make_carla_frame
+    from tests.torch_mirror import install_torchvision_stub
+
+    install_torchvision_stub()
+    from automoe_tpu.train.cli import main as train_main
+
+    root = tmp_path / "carla"
+    for split in ("train", "val"):
+        d = root / split / "run_001"
+        d.mkdir(parents=True)
+        for t in range(10):
+            torch.save(
+                _make_carla_frame(rng, frame_id=t, run_id="run_001"),
+                d / f"{t:04d}.pt",
+            )
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(MODEL_CFG))
+    out = train_main([
+        "gating", "--cache-expert-features",
+        "--model-config", str(cfg_path),
+        "--data-root", str(root),
+        "--epochs", "1", "--batch-size", "4", "--num-workers", "1",
+        "--image-size", "32", "--no-mesh",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "cache_test",
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "ckpt" / "gating" / "cache_test" / "best").exists()
+
+
+def test_cli_cache_guards(tmp_path):
+    from automoe_tpu.train.cli import main as train_main
+
+    with pytest.raises(SystemExit, match="frozen experts"):
+        train_main([
+            "gating", "--cache-expert-features", "--unfreeze-experts",
+            "--data-root", str(tmp_path), "--no-mesh",
+        ])
+    with pytest.raises(SystemExit, match="pick one"):
+        train_main([
+            "gating", "--cache-expert-features", "--parallelism", "ep",
+            "--data-root", str(tmp_path),
+        ])
