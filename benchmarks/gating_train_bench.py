@@ -18,6 +18,9 @@ automoe.py:269-273) never builds them. Variants:
   v_stopgrad   production step + explicit stop_gradient on frozen params
                (forces the cut at the param boundary)
   v_unfrozen   all-params AdamW step (upper bound: full backward)
+  v_cached     frozen-expert feature-cache step (train/feature_cache.py):
+               expert trunks replaced by their precomputed pooled
+               outputs — the floor for the trainable-parts step
 
 If v_frozen ≈ v_stopgrad << v_unfrozen, XLA's DCE already gives the
 torch freeze semantics for free. If v_frozen ≈ v_unfrozen, the masked
@@ -157,6 +160,27 @@ def main():
         new_state, _ = _train_body(wl.loss_fn, state, perturb(b, state), k)
         return new_state
 
+    # feature-cache step: pooled expert features precomputed once, the
+    # trunks never run. Nudge the POOLED inputs per step (the image is
+    # dead in this graph) so the trainable forward can't hoist.
+    from automoe_tpu.models.automoe import automoe_pooled_features
+    from automoe_tpu.train.feature_cache import pooled_keys
+
+    wl_c = gating_workload(default_model_config(), image_size=S,
+                           dtype=jnp.dtype(args.dtype), cache_features=True)
+    pooled = jax.jit(
+        lambda v, b: automoe_pooled_features(model, v, b)
+    )(variables, {"image": batch["image"], "lidar": batch["lidar"]})
+    pnames = pooled_keys(len(model.config.experts))
+    batch_cached = dict(batch, **dict(zip(pnames, pooled)))
+
+    def v_cached(state, b, k):
+        b = dict(b)
+        for name in pnames:
+            b[name] = b[name] + state.step.astype(jnp.float32) * 1e-6
+        new_state, _ = _train_body(wl_c.loss_fn, state, b, k)
+        return new_state
+
     results = {}
     only = set(args.only.split(",")) if args.only else None
     for name, fn, tx in [
@@ -165,10 +189,12 @@ def main():
         ("v_frozen", v_frozen, tx_frozen),
         ("v_stopgrad", v_stopgrad, tx_frozen),
         ("v_unfrozen", v_unfrozen, tx_all),
+        ("v_cached", v_cached, tx_frozen),
     ]:
         if only is not None and name not in only:
             continue
-        results[name] = timed_scan(fn, fresh_state(tx), batch, key,
+        b = batch_cached if name == "v_cached" else batch
+        results[name] = timed_scan(fn, fresh_state(tx), b, key,
                                    k_hi=args.k_hi)
         print(f"[gtb] {name}: {results[name]:.3f} ms", file=sys.stderr,
               flush=True)
