@@ -449,6 +449,7 @@ def cmd_gating(args):
              "batch_stats": trainer.state.batch_stats},
             train, val,
             batch_size=args.batch_size,
+            mesh=trainer.mesh,
         )
     return trainer.fit(_args_dump(args))
 

@@ -50,9 +50,25 @@ def precompute_pooled_features(
     batch_size: int = 32,
     num_workers: int = 8,
     verbose: bool = True,
+    mesh=None,
 ) -> List[np.ndarray]:
     """One ordered eval-mode pass over `dataset` → per-expert [N, d_i]
-    float32 arrays of pooled extractor inputs."""
+    float32 arrays of pooled extractor inputs.
+
+    mesh: an optional data-parallel mesh — the eval pass shards each
+    batch over the 'data' axis (batch_size is rounded up to a multiple
+    of the axis; the tail padding absorbs it). Single-process meshes
+    only: this loop feeds every batch whole, while multi-host
+    `shard_batch` expects per-process slices — multi-host callers run
+    the (cheap) pass replicated instead."""
+    put = None
+    if mesh is not None and jax.process_count() == 1:
+        from automoe_tpu.parallel.mesh import (
+            DATA_AXIS, pad_to_multiple, shard_batch,
+        )
+
+        batch_size = pad_to_multiple(batch_size, mesh.shape[DATA_AXIS])
+        put = lambda b: shard_batch(b, mesh)  # noqa: E731
     n = len(dataset)
     fwd = jax.jit(
         lambda v, b: automoe_pooled_features(model, v, b)
@@ -71,6 +87,8 @@ def precompute_pooled_features(
             batch = {"image": np.stack([s["image"] for s in samples])}
             if "lidar" in samples[0]:
                 batch["lidar"] = np.stack([s["lidar"] for s in samples])
+            if put is not None:
+                batch = put(batch)
             out = fwd(variables, batch)
             if feats is None:
                 feats = [
@@ -132,10 +150,12 @@ def attach_pooled_features(
     *loaders,
     batch_size: int = 32,
     verbose: bool = True,
+    mesh=None,
 ) -> None:
     """Swap each DataLoader's dataset for its feature-cached wrapper,
     in place. Call AFTER expert checkpoints are grafted into the state —
-    the cache must see the final frozen weights."""
+    the cache must see the final frozen weights. With a mesh, the
+    precompute pass runs data-parallel across its devices."""
     for loader in loaders:
         if loader is None:
             continue
@@ -143,6 +163,6 @@ def attach_pooled_features(
             loader.dataset,
             precompute_pooled_features(
                 model, variables, loader.dataset,
-                batch_size=batch_size, verbose=verbose,
+                batch_size=batch_size, verbose=verbose, mesh=mesh,
             ),
         )

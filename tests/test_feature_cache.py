@@ -191,6 +191,17 @@ def test_precompute_and_dataset_wrapper(wl, variables, rng):
     for f, d in zip(feats, direct):
         np.testing.assert_allclose(f, np.asarray(d), rtol=1e-5, atol=1e-6)
 
+    # mesh-sharded precompute (batch_size 3 rounds up to the 8-dev axis;
+    # the tail padding absorbs it) must produce identical features
+    from automoe_tpu.parallel import MeshSpec, make_mesh
+
+    feats_mesh = precompute_pooled_features(
+        wl.model, variables, ds, batch_size=3, verbose=False,
+        mesh=make_mesh(MeshSpec(data=8, model=1)),
+    )
+    for f, fm in zip(feats, feats_mesh):
+        np.testing.assert_allclose(f, fm, rtol=1e-5, atol=1e-6)
+
     wrapped = PooledFeatureDataset(ds, feats)
     assert len(wrapped) == 5
     s = wrapped[2]
