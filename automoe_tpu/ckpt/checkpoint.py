@@ -24,14 +24,31 @@ def _to_host(tree):
 
 
 class CheckpointManager:
-    def __init__(self, root: str, component: str, run_name: str, save_freq: int = 0):
+    def __init__(self, root: str, component: str, run_name: str,
+                 save_freq: int = 0, async_save: bool = False):
+        """async_save: overlap the checkpoint's disk write with training.
+        `StandardCheckpointer` is an AsyncCheckpointer — the device→host
+        snapshot in `_payload` is taken synchronously either way (no torn
+        state), but with async_save the serialization/write continues in
+        a background thread while the train loop runs on. Consecutive
+        saves serialize (each `_write` waits for the previous one), so
+        the win is hiding the LAST write of an epoch behind the next
+        epoch's steps. `wait()` (called at the end of Trainer.fit, and
+        before any restore) is the completion barrier — reading a
+        checkpoint path some OTHER process/tool wrote needs no wait,
+        reading one THIS manager wrote mid-run does."""
         self.dir = Path(root) / component / run_name
         self.save_freq = save_freq
+        self.async_save = async_save
         self.best_val = float("inf")
         self.last_restore_loaded = False  # set by restore()
         self._ckptr = ocp.StandardCheckpointer()
         if jax.process_index() == 0:
             self.dir.mkdir(parents=True, exist_ok=True)
+
+    def wait(self) -> None:
+        """Block until every pending async save has landed on disk."""
+        self._ckptr.wait_until_finished()
 
     # -- save ---------------------------------------------------------------
 
@@ -60,13 +77,17 @@ class CheckpointManager:
         participates in cross-process barriers (process 0 writes, the rest
         sync) — a rank-0-only call deadlocks process 0 in the barrier."""
         path = (self.dir / name).resolve()
+        # serialize against any in-flight async save BEFORE clearing the
+        # target (the pending save may be writing this very path)
+        self._ckptr.wait_until_finished()
         if jax.process_index() == 0 and path.exists():
             import shutil
 
             shutil.rmtree(path)
         self._sync(f"ckpt-pre-{name}")
         self._ckptr.save(path, payload)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
         if config is not None and jax.process_index() == 0:
             (self.dir / "config.json").write_text(json.dumps(config, indent=2))
 
@@ -154,6 +175,7 @@ class CheckpointManager:
         last epoch completed cleanly and superseded it), falls back to
         'last' — so a supervisor can always relaunch with
         --resume-from step regardless of where the crash landed."""
+        self._ckptr.wait_until_finished()  # a pending save may be `which`
         path = (self.dir / which).resolve()
         if which == "step" and not path.exists():
             if not (self.dir / "last").exists():

@@ -52,6 +52,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="N>0 writes a mid-epoch 'step' checkpoint every N "
                         "optimizer steps (resume with --resume full "
                         "--resume-from step)")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="overlap checkpoint disk writes with training "
+                        "(the params snapshot stays synchronous)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
@@ -211,6 +214,7 @@ def _train_cfg(args, pipeline: str = "") -> TrainConfig:
         grad_accum=getattr(args, "grad_accum", 1),
         profile_dir=getattr(args, "profile_dir", None),
         save_every_steps=getattr(args, "save_every_steps", 0),
+        async_ckpt=getattr(args, "async_ckpt", False),
         spatial=getattr(args, "spatial", False),
         tp_min_dim=getattr(args, "tp_min_dim", 0),
         ema_decay=getattr(args, "ema_decay", 0.0),

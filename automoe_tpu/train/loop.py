@@ -65,6 +65,9 @@ class TrainConfig:
     ckpt_root: str = "checkpoints"
     runs_root: str = "runs"
     save_freq: int = 0
+    # overlap checkpoint disk writes with training (the device→host
+    # snapshot stays synchronous); fit() waits for the tail write
+    async_ckpt: bool = False
     resume: Optional[str] = None  # 'model' | 'full'
     resume_from: str = "last"
     log_every: int = 50
@@ -251,7 +254,7 @@ class Trainer:
         )
         self.ckpt = CheckpointManager(
             config.ckpt_root, workload.name, config.run_name,
-            save_freq=config.save_freq,
+            save_freq=config.save_freq, async_save=config.async_ckpt,
         )
         self.logger = MetricsLogger(f"{config.runs_root}/{workload.name}_{config.run_name}")
         self._install_loader_transfer()
@@ -606,5 +609,6 @@ class Trainer:
                     f"train {train_loss:.4f} val {raw_val:.4f}" + ema_note
                     + (" *best*" if is_best else "")
                 )
+        self.ckpt.wait()  # async saves must land before callers read them
         self.logger.close()
         return {"best_val_loss": best}

@@ -500,3 +500,52 @@ def test_resumed_flag_tracks_actual_restore(tmp_path):
     tr.fit()
     tr2 = mk(resume="full", resume_from="step")
     assert tr2.resumed is True and tr2.start_epoch == 1
+
+
+def test_async_ckpt_equivalence(tmp_path):
+    """--async-ckpt: the payload snapshot is synchronous (no torn state),
+    writes overlap training, fit() waits for the tail write — so an async
+    run's checkpoints must be byte-identical in content to a sync run's
+    on the same seed/data, and a restart must resume from them."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+
+    def run(sub, async_ckpt):
+        train = DataLoader(SyntheticSegDataset(8), batch_size=4,
+                           num_workers=0, shuffle=False)
+        val = DataLoader(SyntheticSegDataset(4, seed=1), batch_size=4,
+                         num_workers=0, shuffle=False)
+        cfg = TrainConfig(
+            epochs=2, learning_rate=1e-3, run_name="a", log_every=1,
+            save_freq=1, save_every_steps=1, async_ckpt=async_ckpt,
+            ckpt_root=str(tmp_path / sub / "ckpt"),
+            runs_root=str(tmp_path / sub / "runs"),
+        )
+        tr = Trainer(wl, train, val, cfg)
+        out = tr.fit()
+        return tr, out
+
+    tr_s, out_s = run("sync", False)
+    tr_a, out_a = run("async", True)
+    assert out_s["best_val_loss"] == out_a["best_val_loss"]
+    # restore both 'best' checkpoints into fresh states: identical trees
+    from automoe_tpu.ckpt.checkpoint import load_variables
+
+    tmpl = {"params": tr_s.state.params,
+            "batch_stats": tr_s.state.batch_stats}
+    vs = load_variables(str(tmp_path / "sync/ckpt/bdd_drivable/a/best"), tmpl)
+    va = load_variables(str(tmp_path / "async/ckpt/bdd_drivable/a/best"), tmpl)
+    for ls, la in zip(jax.tree.leaves(vs), jax.tree.leaves(va)):
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(la))
+    # and the async run's checkpoints support a full resume
+    train = DataLoader(SyntheticSegDataset(8), batch_size=4, num_workers=0,
+                       shuffle=False)
+    cfg = TrainConfig(
+        epochs=3, learning_rate=1e-3, run_name="a", log_every=1,
+        resume="full", resume_from="last", async_ckpt=True,
+        ckpt_root=str(tmp_path / "async" / "ckpt"),
+        runs_root=str(tmp_path / "async" / "runs"),
+    )
+    tr2 = Trainer(wl, train, train, cfg)
+    assert tr2.start_epoch == 2
+    out2 = tr2.fit()
+    assert np.isfinite(out2["best_val_loss"])
