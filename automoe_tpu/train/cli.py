@@ -454,6 +454,8 @@ def cmd_gating(args):
             train, val,
             batch_size=args.batch_size,
             mesh=trainer.mesh,
+            cache_dir=args.feature_cache_dir,
+            cache_tags=[f"{args.data_root}:train", f"{args.data_root}:val"],
         )
     return trainer.fit(_args_dump(args))
 
@@ -567,6 +569,10 @@ def main(argv=None):
                          "features in one eval pass, then train WITHOUT "
                          "re-running the expert trunks (~3x step time; "
                          "frozen-BN semantics — train/feature_cache.py)")
+    pg.add_argument("--feature-cache-dir", default=None,
+                    help="persist the pooled-feature cache here (keyed by "
+                         "frozen expert weights + dataset); restarts load "
+                         "instead of re-running the eval pass")
     _add_common(pg)
     pg.set_defaults(fn=cmd_gating, epochs=100, batch_size=8,
                     learning_rate=1e-4, weight_decay=1e-4)

@@ -42,6 +42,28 @@ def pooled_keys(n_experts: int) -> List[str]:
     return [POOLED_KEY.format(i=i) for i in range(n_experts)]
 
 
+def cache_fingerprint(variables: Dict[str, Any], n: int, tag: str) -> str:
+    """Content hash identifying a pooled-feature cache: the frozen expert
+    weights (params + batch_stats of every `expert_*` subtree — the ONLY
+    model state the pooled features depend on), the dataset length, and a
+    caller tag naming the dataset (root/split). Any expert re-graft,
+    dataset change, or tag change produces a different file."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(f"{tag}|{n}|".encode())
+    for coll in ("params", "batch_stats"):
+        tree = variables.get(coll, {})
+        sub = {k: v for k, v in tree.items() if k.startswith("expert_")}
+        for path, leaf in sorted(
+            jax.tree_util.tree_flatten_with_path(sub)[0],
+            key=lambda kv: jax.tree_util.keystr(kv[0]),
+        ):
+            h.update(jax.tree_util.keystr(path).encode())
+            h.update(np.ascontiguousarray(jax.device_get(leaf)).tobytes())
+    return h.hexdigest()[:32]
+
+
 def precompute_pooled_features(
     model: AutoMoE,
     variables: Dict[str, Any],
@@ -151,18 +173,48 @@ def attach_pooled_features(
     batch_size: int = 32,
     verbose: bool = True,
     mesh=None,
+    cache_dir: Optional[str] = None,
+    cache_tags: Optional[List[str]] = None,
 ) -> None:
     """Swap each DataLoader's dataset for its feature-cached wrapper,
     in place. Call AFTER expert checkpoints are grafted into the state —
     the cache must see the final frozen weights. With a mesh, the
-    precompute pass runs data-parallel across its devices."""
-    for loader in loaders:
+    precompute pass runs data-parallel across its devices.
+
+    cache_dir: persist each cache as
+    `<cache_dir>/pooled_<fingerprint>.npz`, keyed by the frozen expert
+    weights + dataset length + the matching `cache_tags` entry (one per
+    loader — name the dataset root/split). A supervisor restart or a
+    re-run over the same experts then loads in milliseconds instead of
+    redoing the eval pass. Only process 0 writes (multi-host)."""
+    import os
+
+    for li, loader in enumerate(loaders):
         if loader is None:
             continue
-        loader.dataset = PooledFeatureDataset(
-            loader.dataset,
-            precompute_pooled_features(
-                model, variables, loader.dataset,
+        ds = loader.dataset
+        path = None
+        if cache_dir is not None:
+            tag = cache_tags[li] if cache_tags else str(li)
+            fp = cache_fingerprint(variables, len(ds), tag)
+            path = os.path.join(cache_dir, f"pooled_{fp}.npz")
+        if path is not None and os.path.exists(path):
+            with np.load(path) as z:
+                feats = [z[f"feat_{i}"] for i in range(len(z.files))]
+            if verbose:
+                print(f"[feature-cache] loaded {path} "
+                      f"({len(feats[0])} samples)")
+        else:
+            feats = precompute_pooled_features(
+                model, variables, ds,
                 batch_size=batch_size, verbose=verbose, mesh=mesh,
-            ),
-        )
+            )
+            if path is not None and jax.process_index() == 0:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = path + ".tmp.npz"  # .npz suffix: savez won't append
+                np.savez(tmp, **{f"feat_{i}": f
+                                 for i, f in enumerate(feats)})
+                os.replace(tmp, path)
+                if verbose:
+                    print(f"[feature-cache] saved {path}")
+        loader.dataset = PooledFeatureDataset(ds, feats)

@@ -305,3 +305,58 @@ def test_cli_cache_guards(tmp_path):
             "gating", "--cache-expert-features", "--parallelism", "ep",
             "--data-root", str(tmp_path),
         ])
+
+
+def test_cache_dir_persistence(tmp_path, wl, variables, rng, monkeypatch):
+    """--feature-cache-dir: second attach over the same frozen experts
+    loads from disk (no recompute); changing expert weights changes the
+    fingerprint and recomputes."""
+    from automoe_tpu.data.loader import DataLoader
+    from automoe_tpu.train import feature_cache as fc
+
+    ds = _TinyDataset(rng, n=5)
+    loader = DataLoader(ds, batch_size=4, num_workers=0, shuffle=False)
+    fc.attach_pooled_features(
+        wl.model, variables, loader, batch_size=4, verbose=False,
+        cache_dir=str(tmp_path), cache_tags=["root:train"],
+    )
+    files = list(tmp_path.glob("pooled_*.npz"))
+    assert len(files) == 1
+    feats0 = loader.dataset.feats
+
+    calls = []
+    real = fc.precompute_pooled_features
+    monkeypatch.setattr(
+        fc, "precompute_pooled_features",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+    loader2 = DataLoader(ds, batch_size=4, num_workers=0, shuffle=False)
+    fc.attach_pooled_features(
+        wl.model, variables, loader2, batch_size=4, verbose=False,
+        cache_dir=str(tmp_path), cache_tags=["root:train"],
+    )
+    assert calls == []  # loaded, not recomputed
+    for a, b in zip(feats0, loader2.dataset.feats):
+        np.testing.assert_array_equal(a, b)
+
+    # a different tag or different expert weights -> new fingerprint
+    fp = fc.cache_fingerprint(variables, 5, "root:train")
+    assert fc.cache_fingerprint(variables, 5, "root:val") != fp
+    import jax.numpy as jnp
+    bumped = dict(variables)
+    bumped["params"] = jax.tree.map(lambda x: x, variables["params"])
+    k0 = next(k for k in bumped["params"] if k.startswith("expert_"))
+    bumped["params"] = {
+        **bumped["params"],
+        k0: jax.tree.map(lambda x: x + 1e-3, bumped["params"][k0]),
+    }
+    assert fc.cache_fingerprint(bumped, 5, "root:train") != fp
+    # non-expert params don't affect it
+    kg = next(k for k in bumped["params"] if not k.startswith("expert_"))
+    same = {
+        **variables,
+        "params": {**variables["params"],
+                   kg: jax.tree.map(lambda x: x + 1e-3,
+                                    variables["params"][kg])},
+    }
+    assert fc.cache_fingerprint(same, 5, "root:train") == fp
