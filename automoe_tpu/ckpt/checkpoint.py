@@ -25,7 +25,8 @@ def _to_host(tree):
 
 class CheckpointManager:
     def __init__(self, root: str, component: str, run_name: str,
-                 save_freq: int = 0, async_save: bool = False):
+                 save_freq: int = 0, async_save: bool = False,
+                 keep: int = 0):
         """async_save: overlap the checkpoint's disk write with training.
         `StandardCheckpointer` is an AsyncCheckpointer — the device→host
         snapshot in `_payload` is taken synchronously either way (no torn
@@ -40,6 +41,9 @@ class CheckpointManager:
         self.dir = Path(root) / component / run_name
         self.save_freq = save_freq
         self.async_save = async_save
+        # retention for periodic epoch_N checkpoints: keep the newest
+        # `keep` (0 = keep all); best/last/step are never GC'd
+        self.keep = keep
         self.best_val = float("inf")
         self.last_restore_loaded = False  # set by restore()
         self._ckptr = ocp.StandardCheckpointer()
@@ -112,6 +116,18 @@ class CheckpointManager:
             self._write("best", payload, None)
         if self.save_freq and (epoch + 1) % self.save_freq == 0:
             self._write(f"epoch_{epoch + 1}", payload, None)
+            if self.keep > 0 and jax.process_index() == 0:
+                # GC older periodic checkpoints (the newest write has
+                # already serialized against any in-flight save, so only
+                # strictly older directories are removed here)
+                import shutil
+
+                olds = sorted(
+                    (p for p in self.dir.glob("epoch_*") if p.is_dir()),
+                    key=lambda p: int(p.name.split("_")[1]),
+                )
+                for p in olds[:-self.keep]:
+                    shutil.rmtree(p)
         # the epoch is complete: any mid-epoch 'step' checkpoint is stale
         # now (restoring it would retrain this epoch's tail and roll back
         # best_val) — drop it; restore(which='step') falls back to 'last'.

@@ -55,6 +55,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--async-ckpt", action="store_true",
                    help="overlap checkpoint disk writes with training "
                         "(the params snapshot stays synchronous)")
+    p.add_argument("--keep-epochs", type=int, default=0,
+                   help="with --save-freq: retain only the newest K "
+                        "periodic epoch_N checkpoints (best/last/step "
+                        "are never GC'd); 0 keeps all")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
@@ -215,6 +219,7 @@ def _train_cfg(args, pipeline: str = "") -> TrainConfig:
         profile_dir=getattr(args, "profile_dir", None),
         save_every_steps=getattr(args, "save_every_steps", 0),
         async_ckpt=getattr(args, "async_ckpt", False),
+        keep_epochs=getattr(args, "keep_epochs", 0),
         spatial=getattr(args, "spatial", False),
         tp_min_dim=getattr(args, "tp_min_dim", 0),
         ema_decay=getattr(args, "ema_decay", 0.0),

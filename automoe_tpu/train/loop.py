@@ -65,6 +65,8 @@ class TrainConfig:
     ckpt_root: str = "checkpoints"
     runs_root: str = "runs"
     save_freq: int = 0
+    # keep only the newest K periodic epoch_N checkpoints (0 = all)
+    keep_epochs: int = 0
     # overlap checkpoint disk writes with training (the device→host
     # snapshot stays synchronous); fit() waits for the tail write
     async_ckpt: bool = False
@@ -255,6 +257,7 @@ class Trainer:
         self.ckpt = CheckpointManager(
             config.ckpt_root, workload.name, config.run_name,
             save_freq=config.save_freq, async_save=config.async_ckpt,
+            keep=config.keep_epochs,
         )
         self.logger = MetricsLogger(f"{config.runs_root}/{workload.name}_{config.run_name}")
         self._install_loader_transfer()

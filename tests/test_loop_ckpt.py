@@ -549,3 +549,21 @@ def test_async_ckpt_equivalence(tmp_path):
     assert tr2.start_epoch == 2
     out2 = tr2.fit()
     assert np.isfinite(out2["best_val_loss"])
+
+
+def test_keep_epochs_gc(tmp_path):
+    """--keep-epochs K retains only the newest K periodic checkpoints;
+    best/last survive."""
+    wl = bdd_expert_workload("drivable", image_size=32)
+    train = DataLoader(SyntheticSegDataset(8), batch_size=4, num_workers=0,
+                       shuffle=False)
+    cfg = TrainConfig(
+        epochs=5, learning_rate=1e-3, run_name="gc", log_every=1,
+        save_freq=1, keep_epochs=2,
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+    )
+    Trainer(wl, train, train, cfg).fit()
+    d = tmp_path / "ckpt" / "bdd_drivable" / "gc"
+    kept = sorted(p.name for p in d.glob("epoch_*"))
+    assert kept == ["epoch_4", "epoch_5"]
+    assert (d / "best").exists() and (d / "last").exists()
