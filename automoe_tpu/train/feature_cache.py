@@ -91,6 +91,13 @@ def precompute_pooled_features(
 
         batch_size = pad_to_multiple(batch_size, mesh.shape[DATA_AXIS])
         put = lambda b: shard_batch(b, mesh)  # noqa: E731
+    elif jax.process_count() > 1:
+        # multi-host: params live as replicated GLOBAL arrays — feeding
+        # them to this per-process local jit would mix global and local
+        # shardings. Fetch the (fully-replicated, hence addressable)
+        # replicas to host once; each process then computes the full
+        # cache redundantly on its local devices.
+        variables = jax.tree.map(np.asarray, variables)
     n = len(dataset)
     fwd = jax.jit(
         lambda v, b: automoe_pooled_features(model, v, b)
