@@ -32,10 +32,12 @@ def _get_matcher(name: str):
     ops/pallas_auction.py).
 
     The auction matchers accept an iteration-cap suffix, e.g.
-    'auction_pallas:1000' (CLI: `--matcher auction_pallas:1000`). The
-    cap trades worst-case step time against transient target drops on
-    degenerate early-training predictions — see the train-step budget in
-    benchmarks/BENCHMARKS.md for the measured tradeoff.
+    'auction_pallas:1000' (CLI: `--matcher auction_pallas:1000`). Since
+    r4 the Pallas cap is a pure COST knob: elements unconverged at the
+    cap escalate in-kernel to an exact Jonker-Volgenant solve, so the
+    matching is reference-exact at every cap (the jnp 'auction' keeps
+    the r3 greedy-completion semantics). Sweep + on-chip numbers in
+    benchmarks/BENCHMARKS.md.
     """
     base, _, iters = name.partition(":")
     if iters and base == "hungarian":

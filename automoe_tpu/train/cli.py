@@ -66,8 +66,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="set-matching solver for detection-style losses: "
                         "auction | auction_pallas | hungarian, auction "
                         "variants take an optional iteration-cap suffix "
-                        "('auction_pallas:1000') trading worst-case step "
-                        "time vs transient drops on degenerate predictions "
+                        "('auction_pallas:256'); auction_pallas is "
+                        "reference-exact at every cap since r4 (in-kernel "
+                        "JV escalation), the cap only tunes step time "
                         "(default: auction_pallas on TPU, auction elsewhere)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (params stay fp32)")

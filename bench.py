@@ -163,6 +163,39 @@ def _flops_per_frame(batch_size: int, built=None) -> float:
 _V5E_PEAK_FLOPS = 197e12
 
 
+def _training_figures() -> dict:
+    """Device-step TRAINING throughput for the two flagship pipelines, so
+    BENCH_rN regression-tracks the training path alongside serving
+    (VERDICT r3 item 7): the BDD detection step (fwd+bwd+AdamW with the
+    on-device auction_pallas matcher, B=32/256²) and the cached-gating
+    step (frozen-expert feature cache, the production T7 configuration).
+    Each uses the serialized-chain differencing methodology of its source
+    bench. Failures degrade to an error marker instead of killing the
+    headline metric."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    out = {}
+    try:
+        from benchmarks.train_step_bench import run as det_run
+
+        det = det_run("auction_pallas")
+        out["train_detection_samples_per_sec"] = det["samples_per_sec"]
+        out["train_detection_step_ms_bs32"] = det["step_ms"]
+    except Exception as e:  # pragma: no cover - defensive bench path
+        out["train_detection_error"] = repr(e)[:200]
+    try:
+        from benchmarks.gating_train_bench import measure_cached_step_ms
+
+        ms = measure_cached_step_ms()
+        out["train_cached_gating_step_ms_bs32"] = round(ms, 3)
+        out["train_cached_gating_samples_per_sec"] = round(32 / ms * 1e3, 1)
+    except Exception as e:  # pragma: no cover - defensive bench path
+        out["train_cached_gating_error"] = repr(e)[:200]
+    return out
+
+
 def _init_watchdog(timeout_s: float = 180.0):
     """Fail fast if the TPU tunnel is wedged instead of hanging forever.
 
@@ -224,6 +257,7 @@ def main():
             "int8_serving_fps_recorded": 9575.4,
             "latency_target_ms": 10.0,
             "device": str(jax.devices()[0]),
+            **_training_figures(),
         },
     }
     print(json.dumps(result))

@@ -47,6 +47,65 @@ from automoe_tpu.utils import enable_compile_cache
 from benchmarks.train_stage_bench import timed_scan
 
 
+def measure_cached_step_ms(batch=32, image=256, dtype="float32", k_hi=12):
+    """Device-step time (ms) of the frozen-expert FEATURE-CACHE gating
+    train step — the flagship T7 pipeline's production configuration
+    (`--cache-expert-features`). Factored out of main()'s v_cached
+    variant so bench.py can regression-track the training path each
+    round (VERDICT r3 item 7). Same methodology: serialized scan chain,
+    two-K differencing, per-step pooled-input nudge so nothing hoists."""
+    from automoe_tpu.configs import default_model_config
+    from automoe_tpu.models.automoe import (
+        automoe_pooled_features,
+        expert_param_mask,
+    )
+    from automoe_tpu.train.feature_cache import pooled_keys
+    from automoe_tpu.train.state import TrainState, make_optimizer
+    from automoe_tpu.train.step import _train_body
+    from automoe_tpu.train.workloads import gating_workload
+
+    B, S = batch, image
+    wl = gating_workload(default_model_config(), image_size=S,
+                         dtype=jnp.dtype(dtype))
+    wl_c = gating_workload(default_model_config(), image_size=S,
+                           dtype=jnp.dtype(dtype), cache_features=True)
+    model = wl.model
+    horizon = wl.example_batch["waypoints"].shape[1]
+    rng = np.random.default_rng(0)
+    batch_d = {
+        "image": jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32)),
+        "lidar": jnp.asarray(rng.normal(size=(B, 1000, 3)).astype(np.float32)),
+        "speed": jnp.asarray(rng.uniform(0, 10, (B, horizon)).astype(np.float32)),
+        "steering": jnp.asarray(rng.normal(size=(B, horizon)).astype(np.float32)),
+        "throttle": jnp.asarray(rng.uniform(0, 1, (B, horizon)).astype(np.float32)),
+        "brake": jnp.asarray(np.zeros((B, horizon), np.float32)),
+        "waypoints": jnp.asarray(rng.normal(size=(B, horizon, 2)).astype(np.float32)),
+    }
+    variables = wl.init_variables(jax.random.key(0))
+    pooled = jax.jit(
+        lambda v, b: automoe_pooled_features(model, v, b)
+    )(variables, {"image": batch_d["image"], "lidar": batch_d["lidar"]})
+    pnames = pooled_keys(len(model.config.experts))
+    batch_cached = dict(batch_d, **dict(zip(pnames, pooled)))
+    mask = expert_param_mask(jax.device_get(variables["params"]), frozen=True)
+    tx = make_optimizer(learning_rate=4e-4, weight_decay=1e-4,
+                        total_steps=1000, trainable_mask=mask)
+    state = TrainState.create(
+        params=variables["params"], tx=tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+    def v_cached(state, b, k):
+        b = dict(b)
+        for name in pnames:
+            b[name] = b[name] + state.step.astype(jnp.float32) * 1e-6
+        new_state, _ = _train_body(wl_c.loss_fn, state, b, k)
+        return new_state
+
+    return timed_scan(v_cached, state, batch_cached, jax.random.key(1),
+                      k_hi=k_hi)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)

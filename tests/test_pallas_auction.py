@@ -107,6 +107,75 @@ def test_pallas_auction_interpret_matches_optimal(rng):
         assert ours - opt <= spread[b] * 0.011 + 1e-4, (b, ours, opt)
 
 
+def test_escalation_exact_random(rng):
+    """max_iters=0 forces EVERY element through the in-kernel JV
+    escalation: the assignment must equal the scipy optimum exactly
+    (cost-equal; permutations may differ among ties), incl. partially
+    valid and fully invalid rows."""
+    B, N, Q = 5, 12, 20
+    cost = rng.uniform(0, 10, (B, N, Q)).astype(np.float32)
+    benefit = jnp.asarray(-cost)
+    valid_np = np.ones((B, N), bool)
+    valid_np[1, 7:] = False
+    valid_np[2, :] = False
+    valid_np[3, ::2] = False
+    valid = jnp.asarray(valid_np)
+    eps = jnp.asarray(np.full(B, 0.01, np.float32))
+
+    out = np.asarray(
+        auction_solve_pallas(benefit, valid, eps, max_iters=0, interpret=True)
+    )
+    for b in range(B):
+        rows = np.where(valid_np[b])[0]
+        if len(rows) == 0:
+            assert (out[b] == -1).all()
+            continue
+        sub = cost[b][rows]
+        cols = out[b][rows]
+        assert (cols >= 0).all(), (b, cols)
+        assert len(set(cols.tolist())) == len(rows), "duplicate"
+        assert (out[b][~valid_np[b]] == -1).all(), "invalid row assigned"
+        ri, ci = linear_sum_assignment(sub.astype(np.float64))
+        ours = sub[np.arange(len(rows)), cols].sum()
+        opt = sub[ri, ci].sum()
+        assert abs(ours - opt) <= 1e-4, (b, ours, opt)
+
+
+def test_escalation_exact_degenerate():
+    """The degenerate near-tie regime that motivated the r3 cap: at the
+    DEFAULT cap (128) the full matcher must now return the reference-exact
+    optimum — zero dropped targets, zero greedy divergence (retires the
+    DESIGN §3 capped-matcher ledger row)."""
+    from automoe_tpu.ops.matching import match_cost_matrix
+    from automoe_tpu.ops.pallas_auction import auction_match_pallas
+
+    rng = np.random.default_rng(4242)
+    B, Q, C, N, noise = 4, 64, 10, 48, 1e-3
+    base_logit = rng.normal(size=(1, 1, C)).astype(np.float32)
+    base_box = np.array([[0.4, 0.4, 0.6, 0.6]], np.float32)
+    logits = jnp.asarray(
+        base_logit + noise * rng.normal(size=(B, Q, C)).astype(np.float32))
+    boxes = jnp.asarray(np.clip(
+        base_box + noise * rng.normal(size=(B, Q, 4)).astype(np.float32),
+        0, 1))
+    tb = jnp.asarray(rng.uniform(0.1, 0.9, (B, N, 4)).astype(np.float32))
+    tl = jnp.asarray(rng.integers(0, C, (B, N)).astype(np.int32))
+
+    qi, valid = auction_match_pallas(logits, boxes, tb, tl, interpret=True)
+    qi, valid = np.asarray(qi), np.asarray(valid)
+    assert valid.all(), "escalated matcher dropped targets"
+    for b in range(B):
+        cols = qi[b]
+        assert len(set(cols.tolist())) == N, "duplicate"
+        cost = np.asarray(match_cost_matrix(logits[b], boxes[b], tb[b], tl[b]))
+        ri, ci = linear_sum_assignment(cost.astype(np.float64))
+        ours = cost[cols, np.arange(N)].sum()
+        opt = cost[ri, ci].sum()
+        # near-ties: every optimum is within float noise of each other,
+        # so cost equality is the right exactness criterion
+        assert abs(ours - opt) <= 1e-4, (b, ours, opt)
+
+
 def test_pallas_auction_single_query(rng):
     """Q=1 degenerate case: the kernel used to thrash to max_iters and
     return an arbitrary bidder; now the optimal target takes the query
