@@ -1,0 +1,201 @@
+"""Device-resident epoch loader: train at the device-step bound on
+tunneled/thin-host runtimes.
+
+The r3 loop benchmarks showed the integrated Trainer at B=32/256² is
+HOST-TRANSFER-bound on this environment (613 ms/step H2D over the ~50 MB/s
+tunnel vs a 16 ms device step — benchmarks/BENCHMARKS.md "Trainer-loop
+pipelining"), so sustained-epoch throughput could only be *extrapolated*
+from device-step microbenches. This module closes that gap: it stages an
+epoch's working set in HBM **once**, reshuffles it sample-level **on
+device** each epoch, and yields batches (or pre-stacked [K,B,...] scan
+groups) that are already mesh-sharded `jax.Array`s — the Trainer's hot
+loop then does zero per-step H2D and one metrics RPC per K steps
+(`steps_per_call`), holding the device-step bound for entire epochs.
+
+Where the reference streams every batch from host disk through
+DataLoader workers each step (training/train_bdd100k_ddp.py:150-194 —
+the right design for a PCIe-attached GPU box), a TPU host feeding chips
+over a slow link wants the dataset resident device-side. Real uses:
+ - cached-gating training (`--cache-expert-features`): the per-sample
+   working set is ~7 KB of pooled features + waypoint targets — a full
+   epoch fits HBM trivially (automoe_tpu/train/feature_cache.py);
+ - any synthetic/augmentation-generated workload;
+ - datasets whose packed shards fit HBM (see data/packed.py sizes).
+
+Protocol: drop-in for the Trainer — `__len__` (BATCHES per epoch),
+`set_epoch(epoch, skip_batches=0)`, iteration. With `group_size == K ==
+TrainConfig.steps_per_call`, the Trainer's grouped path detects the
+loader (attribute `group_size`) and dispatches each yielded [K,B,...]
+group straight into the scan step — no host stacking, no transfer.
+
+`shared` entries are per-batch constants (e.g. the DCE'd `image` input
+the cached-gating model still requires structurally — models/automoe.py
+`cached_pooled` path) staged once and re-yielded with every group.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from automoe_tpu.parallel.mesh import (
+    batch_sharding,
+    stacked_batch_sharding,
+)
+
+
+class DeviceEpochLoader:
+    """One epoch of per-sample arrays, HBM-resident, device-reshuffled.
+
+    arrays: dict name -> np.ndarray [N, ...] (the per-sample data).
+    batch_size: per-step batch B. group_size: K batches per yielded
+    group (match TrainConfig.steps_per_call; 1 = plain [B,...] batches,
+    e.g. for validation). steps_per_epoch: batches per epoch — defaults
+    to N // B; larger values cycle the resident pool with fresh group
+    permutations (ledger: repeated data — for perf runs / small pools).
+    shared: dict name -> np.ndarray [B, ...] per-batch constants, tiled
+    to [K,B,...] once when group_size > 1.
+    """
+
+    def __init__(
+        self,
+        arrays: Dict[str, np.ndarray],
+        *,
+        batch_size: int,
+        group_size: int = 1,
+        mesh=None,
+        shared: Optional[Dict[str, np.ndarray]] = None,
+        seed: int = 0,
+        steps_per_epoch: Optional[int] = None,
+        shuffle: bool = True,
+    ):
+        if not arrays:
+            raise ValueError("arrays must be non-empty")
+        n = len(next(iter(arrays.values())))
+        for k, v in arrays.items():
+            if len(v) != n:
+                raise ValueError(
+                    f"array '{k}' has {len(v)} samples, expected {n}"
+                )
+        B, K = batch_size, max(1, group_size)
+        if n % (B * K):
+            raise ValueError(
+                f"N={n} must divide by batch_size*group_size={B * K} "
+                "(trim the arrays — static shapes, no tail)"
+            )
+        if mesh is not None:
+            data = dict(mesh.shape).get("data", 1)
+            if B % data:
+                raise ValueError(
+                    f"batch_size={B} must divide by the mesh data axis "
+                    f"({data})"
+                )
+        self.batch_size = B
+        self.group_size = K
+        self.mesh = mesh
+        self.seed = seed
+        self.shuffle = shuffle
+        self._n = n
+        self._groups_nat = n // (B * K)
+        spe = steps_per_epoch if steps_per_epoch is not None else n // B
+        if spe % K:
+            raise ValueError(
+                f"steps_per_epoch={spe} must divide by group_size={K}"
+            )
+        self._steps_per_epoch = spe
+        self._groups = spe // K
+
+        dsh = batch_sharding(mesh) if mesh is not None else None
+        # flat epoch staged ONCE (the only bulk H2D of the run)
+        self._flat = {
+            k: (jax.device_put(np.asarray(v), dsh) if dsh is not None
+                else jax.device_put(np.asarray(v)))
+            for k, v in arrays.items()
+        }
+        self._shared = {}
+        if shared:
+            gsh = (
+                (stacked_batch_sharding(mesh) if K > 1 else dsh)
+                if mesh is not None else None
+            )
+            for k, v in shared.items():
+                v = np.asarray(v)
+                if len(v) != B:
+                    raise ValueError(
+                        f"shared '{k}' must be a [B={B}, ...] batch, got "
+                        f"{v.shape}"
+                    )
+                if K > 1:
+                    v = np.broadcast_to(v[None], (K,) + v.shape)
+                self._shared[k] = (
+                    jax.device_put(v, gsh) if gsh is not None
+                    else jax.device_put(v)
+                )
+
+        out_spec = (
+            jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(
+                    None, *(() if K == 1 else (None,)), "data"
+                ),
+            )
+            if mesh is not None else None
+        )
+
+        @functools.partial(
+            jax.jit,
+            **({"out_shardings": out_spec} if out_spec is not None else {}),
+        )
+        def _reshuffle(flat_tree, perm):
+            def one(x):
+                y = jnp.take(x, perm, axis=0)
+                lead = (self._groups_nat, K, B) if K > 1 else (n // B, B)
+                return y.reshape(lead + x.shape[1:])
+
+            return jax.tree.map(one, flat_tree)
+
+        self._reshuffle = _reshuffle
+        self._epoch_groups = None  # dict name -> [G_nat,(K,)B,...]
+        self._order: np.ndarray = np.arange(self._groups)
+        self._skip_groups = 0
+        self.set_epoch(0)
+
+    def __len__(self) -> int:  # BATCHES per epoch (Trainer schedule unit)
+        return self._steps_per_epoch
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """Sample-level on-device reshuffle for `epoch`; deterministic in
+        (seed, epoch). skip_batches resumes mid-epoch (must align to
+        group_size)."""
+        rng = np.random.default_rng((self.seed, epoch))
+        perm = (
+            rng.permutation(self._n) if self.shuffle
+            else np.arange(self._n)
+        )
+        perm_dev = jax.device_put(perm.astype(np.int32))
+        self._epoch_groups = self._reshuffle(self._flat, perm_dev)
+        reps = -(-self._groups // self._groups_nat)  # ceil
+        order = np.concatenate([
+            rng.permutation(self._groups_nat) if self.shuffle
+            else np.arange(self._groups_nat)
+            for _ in range(reps)
+        ])[: self._groups]
+        self._order = order
+        if skip_batches % self.group_size:
+            raise ValueError(
+                f"skip_batches={skip_batches} must align to "
+                f"group_size={self.group_size}"
+            )
+        self._skip_groups = skip_batches // self.group_size
+
+    def __iter__(self):
+        skip = self._skip_groups
+        self._skip_groups = 0  # one-shot (resume semantics)
+        for g in self._order[skip:]:
+            out = {k: v[int(g)] for k, v in self._epoch_groups.items()}
+            out.update(self._shared)
+            yield out

@@ -108,6 +108,14 @@ class TrainConfig:
     # divisible by the 'model' axis) over 'model' (parallel/tp.py).
     # 0 = off. Exclusive with spatial (both consume the 'model' axis).
     tp_min_dim: int = 0
+    # pipeline parallelism: M>0 declares the workload's model runs its
+    # stacked-block trunk through parallel/pp.py with M microbatches
+    # (the workload factory must have been built with pipeline_mesh /
+    # pipeline_microbatches=M — e.g. policy_workload(trunk_depth=...)),
+    # and places the [L]-stacked trunk params + optimizer moments per
+    # stage (pp.pp_shard_state). Exclusive with spatial/tp_min_dim (all
+    # consume 'model'); composes with DP and steps_per_call.
+    pp_microbatches: int = 0
     # d>0 keeps an exponential moving average of params (ema = d*ema +
     # (1-d)*params per optimizer step, fused into the train step). The
     # EMA weights are validated each epoch ('val_ema' metrics), drive the
@@ -200,6 +208,21 @@ class Trainer:
             self.state, state_sh = shard_state(
                 self.state, mesh, min_dim=config.tp_min_dim
             )
+        if config.pp_microbatches > 0:
+            if mesh is None or dict(mesh.shape).get("model", 1) < 2:
+                raise ValueError(
+                    "pipeline parallelism (pp_microbatches > 0) needs a "
+                    "mesh with a 'model' axis > 1 (got "
+                    f"{None if mesh is None else dict(mesh.shape)})"
+                )
+            if config.tp_min_dim > 0 or config.spatial:
+                raise ValueError(
+                    "pp_microbatches is exclusive with tp_min_dim/spatial "
+                    "(all consume the 'model' mesh axis)"
+                )
+            from automoe_tpu.parallel.pp import pp_shard_state
+
+            self.state, state_sh = pp_shard_state(self.state, mesh)
         # batch_shardings=None → jit infers the batch layout from the
         # committed input sharding (the spatial P('data','model') images
         # _place() produces) instead of resharding to P('data').
@@ -345,6 +368,14 @@ class Trainer:
         back to single-step dispatches."""
         from automoe_tpu.parallel.mesh import shard_stacked_batch
 
+        # device-resident loaders (data/device_resident.py) yield
+        # PRE-STACKED [K,B,...] mesh-sharded jax.Array groups — no host
+        # stacking, no per-step H2D; each loop iteration consumes K
+        # batches of bookkeeping. Detected by the loader's declared
+        # group_size matching this mode's K.
+        pre_grouped = (
+            k > 1 and getattr(self.train_loader, "group_size", 1) == k
+        )
         consumed0, skip_in_loop = self._set_epoch_with_skip(epoch)
         total, n = 0.0, 0
         t0 = time.time()
@@ -363,38 +394,44 @@ class Trainer:
             if i < skip_in_loop:
                 continue
             last_i = i
-            if any(isinstance(v, jax.Array) for v in batch.values()):
-                raise ValueError(
-                    "batch-grouping modes (steps_per_call/grad_accum > 1) "
-                    "stack host batches themselves — don't configure the "
-                    "DataLoader with a device_put_fn here (the Trainer "
-                    "skips installing its own)."
+            if pre_grouped:
+                stacked = batch  # already [K,B,...], already mesh-placed
+            else:
+                if any(isinstance(v, jax.Array) for v in batch.values()):
+                    raise ValueError(
+                        "batch-grouping modes (steps_per_call/grad_accum "
+                        "> 1) stack host batches themselves — don't "
+                        "configure the DataLoader with a device_put_fn "
+                        "here (the Trainer skips installing its own)."
+                    )
+                group.append(
+                    {kk: v for kk, v in batch.items()
+                     if not isinstance(v, list) and kk != "_real_count"}
                 )
-            group.append(
-                {kk: v for kk, v in batch.items()
-                 if not isinstance(v, list) and kk != "_real_count"}
-            )
-            if len(group) < k:
-                continue
-            # stack over the INTERSECTION of keys: stack_batch drops keys
-            # per-batch by intersection (optional fields like CARLA
-            # 'context'), so batches within one group can differ — a raw
-            # group[0] iteration would KeyError mid-epoch
-            common = set(group[0])
-            for b in group[1:]:
-                common &= set(b)
-            stacked = {
-                kk: np.stack([b[kk] for b in group]) for kk in sorted(common)
-            }
-            group = []
-            if self.mesh is not None:
-                stacked = shard_stacked_batch(stacked, self.mesh)
+                if len(group) < k:
+                    continue
+                # stack over the INTERSECTION of keys: stack_batch drops
+                # keys per-batch by intersection (optional fields like
+                # CARLA 'context'), so batches within one group can differ
+                # — a raw group[0] iteration would KeyError mid-epoch
+                common = set(group[0])
+                for b in group[1:]:
+                    common &= set(b)
+                stacked = {
+                    kk: np.stack([b[kk] for b in group])
+                    for kk in sorted(common)
+                }
+                group = []
+                if self.mesh is not None:
+                    stacked = shard_stacked_batch(stacked, self.mesh)
             self.timer.start()
             self.state, metrics = dispatch(self.state, stacked, self.rng)
             pending.append(metrics["loss"])
             flush_pending(max(0, self.cfg.max_inflight))
             self.timer.stop()
-            self._maybe_save_step(epoch, consumed0 + i + 1)
+            # pre-grouped iterations consume k batches apiece
+            consumed = consumed0 + ((i + 1) * k if pre_grouped else i + 1)
+            self._maybe_save_step(epoch, consumed)
             self._host_step += steps_per_group
             self.logger.heartbeat()
             step = self._host_step

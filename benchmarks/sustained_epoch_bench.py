@@ -1,0 +1,286 @@
+"""Sustained multi-epoch training on the real chip — the epoch is the
+product (VERDICT r3 item 1).
+
+Runs the two flagship pipelines through the REAL Trainer (metrics JSONL,
+per-epoch validation, best/last checkpointing — train/loop.py, the same
+fit() the CLI drives) for N full epochs each, and reports per-epoch
+wall-clock samples/s against the device-step bound measured by the same
+serialized-chain methodology as the step microbenches:
+
+ - `gating-cached`: the flagship T7 configuration
+   (`--cache-expert-features`) — frozen-expert pooled features; the
+   per-sample working set is a few hundred floats, so a full epoch
+   stages HBM-resident up front (data/device_resident.py) and
+   reshuffles on device each epoch.
+ - `detection`: the BDD detection expert step (fwd+bwd+AdamW with the
+   on-device auction_pallas matcher, B=32/256²) — full-epoch image
+   residency would not fit HBM, so a pool of distinct batches stays
+   resident and cycles with fresh per-epoch permutations (ledgered:
+   repeated data; throughput is the claim here, convergence is pinned
+   by the trajectory-parity suite).
+
+Why device-resident: this environment's ~50 MB/s tunnel makes per-batch
+H2D the confound (613 ms/step vs a 16 ms device step — BENCHMARKS.md
+"Trainer-loop pipelining"); a production TPU pod host feeds chips from
+local NVMe and doesn't have this constraint, but the *loop machinery*
+(grouped scan dispatch, bounded in-flight metrics fetches, logging,
+validation, checkpointing) is exactly what this run exercises and what
+was previously only extrapolated. Reference counterpart: the epoch loop
+of training/train_bdd100k_ddp.py:75-185.
+
+Usage: python benchmarks/sustained_epoch_bench.py [--pipeline both]
+    [--epochs 3] [--out runs/sustained]
+Run in BACKGROUND with a generous timeout; never kill mid-compile
+(CLAUDE.md landmine 4).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def _init_watchdog(timeout_s: float):
+    """Exit loudly if backend init wedges (dead tunnel) instead of
+    hanging forever — same policy as bench.py."""
+    done = threading.Event()
+
+    def boom():
+        if not done.wait(timeout_s):
+            print(json.dumps({"error": f"backend init > {timeout_s}s "
+                              "(tunnel wedged?)"}), flush=True)
+            os._exit(17)
+
+    t = threading.Thread(target=boom, daemon=True)
+    t.start()
+    return done
+
+
+SMOKE = False  # --smoke: tiny shapes for a CPU plumbing check
+
+
+def build_detection(epochs: int):
+    """Detection pipeline: resident pool of P×K×B distinct samples."""
+    import jax.numpy as jnp
+
+    from automoe_tpu.data.device_resident import DeviceEpochLoader
+    from automoe_tpu.train.loop import TrainConfig, Trainer
+    from automoe_tpu.train.workloads import bdd_expert_workload
+
+    B, S, cap, K, P = 32, 256, 48, 8, 4
+    steps_per_epoch = 1024  # 32,768 samples/epoch
+    if SMOKE:
+        B, S, cap, K, P, steps_per_epoch = 4, 32, 8, 2, 2, 8
+    rng = np.random.default_rng(0)
+    n = B * K * P
+    arrays = {
+        "image": rng.normal(size=(n, S, S, 3)).astype(np.float32),
+        "bboxes": rng.uniform(0.1, 0.9, (n, cap, 4)).astype(np.float32),
+        "labels": np.where(
+            np.arange(cap)[None, :] < 12,
+            rng.integers(0, 10, (n, cap)), -1
+        ).astype(np.int32),
+    }
+    val_arrays = {
+        k: v[: B * 8] for k, v in arrays.items()
+    }
+    wl = bdd_expert_workload(
+        "detection", image_size=S, box_cap=cap, matcher="auction_pallas",
+        dtype=jnp.float32,
+    )
+    train_loader = DeviceEpochLoader(
+        arrays, batch_size=B, group_size=K,
+        steps_per_epoch=steps_per_epoch, seed=0,
+    )
+    val_loader = DeviceEpochLoader(
+        val_arrays, batch_size=B, group_size=1, seed=1, shuffle=False,
+    )
+    cfg = TrainConfig(
+        epochs=epochs, learning_rate=2e-4, weight_decay=1e-4,
+        optimizer="adamw", schedule="cosine", steps_per_call=K,
+        run_name="sustained_detection", log_every=256, max_inflight=2,
+    )
+    return wl, train_loader, val_loader, cfg, B
+
+    # bound: benchmarks/train_step_bench.run("auction_pallas")
+
+
+def build_gating_cached(epochs: int):
+    """Flagship cached-gating pipeline: full epoch HBM-resident."""
+    import jax.numpy as jnp
+
+    from automoe_tpu.configs import default_model_config
+    from automoe_tpu.data.device_resident import DeviceEpochLoader
+    from automoe_tpu.train.loop import TrainConfig, Trainer  # noqa: F401
+    from automoe_tpu.train.workloads import (
+        gating_workload,
+        pooled_feature_dim,
+    )
+
+    B, K = 32, 16
+    steps_per_epoch = 4096  # 131,072 samples/epoch
+    n = 65_536  # resident samples; epoch cycles the pool twice
+    if SMOKE:
+        B, K, steps_per_epoch, n = 4, 2, 8, 16
+    mc = default_model_config()
+    wl = gating_workload(mc, image_size=256, dtype=jnp.float32,
+                         cache_features=True)
+    horizon = wl.example_batch["waypoints"].shape[1]
+    cfg_model = wl.model.config
+    rng = np.random.default_rng(0)
+    arrays = {
+        "speed": rng.uniform(0, 10, (n, horizon)).astype(np.float32),
+        "steering": rng.normal(size=(n, horizon)).astype(np.float32) * 0.3,
+        "throttle": rng.uniform(0, 1, (n, horizon)).astype(np.float32),
+        "brake": np.zeros((n, horizon), np.float32),
+        "waypoints": rng.normal(size=(n, horizon, 2)).astype(np.float32),
+    }
+    for i, ecfg in enumerate(cfg_model.experts):
+        arrays[f"expert_pooled_{i}"] = rng.normal(
+            size=(n, pooled_feature_dim(ecfg))
+        ).astype(np.float32)
+    # the cached-gating graph requires an NHWC image input structurally
+    # but never reads its pixels (DCE'd — models/automoe.py cached_pooled
+    # path, pinned in tests/test_frozen_dce.py): a tiny dummy satisfies
+    # the shape contract at ~zero HBM instead of staging real frames
+    shared = {"image": np.zeros((B, 4, 4, 3), np.float32)}
+    nv = B * 64
+    val_arrays = {k: v[:nv] for k, v in arrays.items()}
+    train_loader = DeviceEpochLoader(
+        arrays, batch_size=B, group_size=K, shared=shared,
+        steps_per_epoch=steps_per_epoch, seed=0,
+    )
+    val_loader = DeviceEpochLoader(
+        val_arrays, batch_size=B, group_size=1,
+        shared={"image": shared["image"]}, seed=1, shuffle=False,
+    )
+    from automoe_tpu.train.loop import TrainConfig
+
+    cfg = TrainConfig(
+        epochs=epochs, learning_rate=4e-4, weight_decay=1e-4,
+        optimizer="adamw", schedule="cosine_per_epoch", steps_per_call=K,
+        run_name="sustained_gating_cached", log_every=1024, max_inflight=2,
+    )
+    return wl, train_loader, val_loader, cfg, B
+
+
+def run_pipeline(name: str, epochs: int, out_root: str):
+    from automoe_tpu.train.loop import Trainer
+
+    build = {"detection": build_detection,
+             "gating-cached": build_gating_cached}[name]
+    wl, train_loader, val_loader, cfg, B = build(epochs)
+    cfg.ckpt_root = os.path.join(out_root, "ckpt")
+    cfg.runs_root = os.path.join(out_root, "runs")
+    t_build0 = time.time()
+    trainer = Trainer(wl, train_loader, val_loader, cfg, mesh=None)
+    t_fit0 = time.time()
+    result = trainer.fit()
+    t_fit = time.time() - t_fit0
+
+    # per-epoch wall-clock from the run's own metrics JSONL
+    run_dir = Path(cfg.runs_root) / f"{wl.name}_{cfg.run_name}"
+    epochs_rows = []
+    with open(run_dir / "metrics.jsonl") as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "train/epoch_seconds" in rec:
+                epochs_rows.append(rec)
+    epochs_rows = epochs_rows[-epochs:]  # JSONL appends across re-runs
+    per_epoch = [
+        {
+            "epoch_seconds": round(r["train/epoch_seconds"], 2),
+            "steps_per_sec": round(r["train/steps_per_sec"], 2),
+            "samples_per_sec": round(r["train/steps_per_sec"] * B, 1),
+            "loss": round(r["train/loss_epoch"], 4),
+        }
+        for r in epochs_rows
+    ]
+    return {
+        "pipeline": name,
+        "batch_size": B,
+        "steps_per_call": cfg.steps_per_call,
+        "steps_per_epoch": len(train_loader),
+        "epochs": epochs,
+        "init_seconds": round(t_fit0 - t_build0, 1),
+        "fit_wall_seconds": round(t_fit, 1),
+        "best_val_loss": result.get("best_val_loss"),
+        "per_epoch": per_epoch,
+        "run_dir": str(run_dir),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pipeline", default="both",
+                   choices=["both", "detection", "gating-cached"])
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--out", default="runs/sustained")
+    p.add_argument("--bounds", action="store_true",
+                   help="also measure the device-step bounds (adds the "
+                        "step microbenches' compile+run time)")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny shapes on CPU — plumbing check, not a bench")
+    args = p.parse_args()
+
+    if args.smoke:
+        global SMOKE
+        SMOKE = True
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    done = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", 180)))
+    import jax
+
+    from automoe_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    dev = jax.devices()[0]
+    done.set()
+
+    names = (["detection", "gating-cached"] if args.pipeline == "both"
+             else [args.pipeline])
+    out = {"device": str(dev)}
+    for name in names:
+        out[name] = run_pipeline(name, args.epochs, args.out)
+        print(json.dumps({name: out[name]}), flush=True)
+
+    if args.bounds:
+        from benchmarks.gating_train_bench import measure_cached_step_ms
+        from benchmarks.train_step_bench import run as det_run
+
+        bounds = {}
+        if "detection" in names:
+            det = det_run("auction_pallas")
+            bounds["detection_step_ms"] = det["step_ms"]
+            bounds["detection_bound_samples_per_sec"] = det["samples_per_sec"]
+        if "gating-cached" in names:
+            ms = measure_cached_step_ms()
+            bounds["gating_cached_step_ms"] = round(ms, 3)
+            bounds["gating_cached_bound_samples_per_sec"] = round(
+                32 / ms * 1e3, 1)
+        out["bounds"] = bounds
+        for name in names:
+            key = ("detection_bound_samples_per_sec" if name == "detection"
+                   else "gating_cached_bound_samples_per_sec")
+            bound = bounds.get(key)
+            if bound:
+                for row in out[name]["per_epoch"]:
+                    row["fraction_of_bound"] = round(
+                        row["samples_per_sec"] / bound, 3)
+        print(json.dumps({"bounds": bounds}), flush=True)
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
