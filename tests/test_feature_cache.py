@@ -34,7 +34,7 @@ from automoe_tpu.train.feature_cache import (
     precompute_pooled_features,
 )
 from automoe_tpu.train.state import TrainState, make_optimizer
-from automoe_tpu.train.step import make_train_step
+from automoe_tpu.train.step import make_eval_step, make_train_step
 from automoe_tpu.train.workloads import gating_workload, pooled_feature_dim
 
 MODEL_CFG = {
@@ -419,3 +419,101 @@ def test_cached_training_reaches_trainmode_optimum(variables, rng):
     l0 /= len(batches)
     assert l_ref < 0.7 * l0 and l_c < 0.7 * l0, (l0, l_ref, l_c)
     assert abs(l_ref - l_c) / l_ref < 0.05, (l_ref, l_c)
+
+
+def test_cached_step_tp_equivalence(variables, rng):
+    """Feature cache × tensor parallelism compose (r4, VERDICT r3 item 8):
+    TP shards the TRAINABLE kernels (extractor MLPs, gating, context,
+    policy — parallel/tp.py), all of which remain in the cached step, so
+    a cached train step with wide kernels model-sharded over a
+    (data=4, model=2) mesh must reproduce the unsharded cached step's
+    updates. The cached step's only removed compute is the frozen expert
+    trunks — exactly the part TP never sharded here."""
+    import jax.numpy as jnp
+
+    from automoe_tpu.parallel import MeshSpec, make_mesh, shard_batch
+    from automoe_tpu.parallel.tp import shard_state
+
+    wl_c = gating_workload(MODEL_CFG, image_size=S, cache_features=True)
+    batch = _batch(rng, n=8)
+    pooled = automoe_pooled_features(wl_c.model, variables, batch)
+    batch_c = dict(batch)
+    for k, p in zip(pooled_keys(4), pooled):
+        batch_c[k] = np.asarray(p)
+
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+    mask = expert_param_mask(params, frozen=True)
+
+    def fresh_state():
+        tx = make_optimizer(
+            learning_rate=1e-3, weight_decay=1e-4, total_steps=10,
+            trainable_mask=mask,
+        )
+        return TrainState.create(
+            params=jax.tree.map(jnp.asarray, params), tx=tx,
+            batch_stats=jax.tree.map(jnp.asarray, stats),
+        )
+
+    # unsharded cached run
+    step = make_train_step(wl_c.loss_fn)
+    st_a = fresh_state()
+    for t in range(3):
+        st_a, _ = step(st_a, batch_c, jax.random.key(t))
+
+    # TP cached run: wide trainable kernels sharded on 'model'
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    st_b, st_sh = shard_state(fresh_state(), mesh, min_dim=64)
+    n_sharded = sum(
+        1 for l in jax.tree_util.tree_leaves(
+            jax.tree.map(lambda x: "model" in str(x.sharding.spec),
+                         st_b.params))
+        if l
+    )
+    assert n_sharded > 0, "no kernel met the TP sharding rule"
+    step_tp = make_train_step(wl_c.loss_fn, mesh=mesh, state_sharding=st_sh)
+    db = shard_batch(batch_c, mesh)
+    for t in range(3):
+        st_b, _ = step_tp(st_b, db, jax.random.key(t))
+
+    n_skipped = 0
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_flatten_with_path(st_a.params)[0],
+        jax.tree_util.tree_flatten_with_path(st_b.params)[0],
+    ):
+        key = jax.tree_util.keystr(pa)
+        assert key == jax.tree_util.keystr(pb)
+        # policy-backbone conv biases feed straight into train-mode BN,
+        # whose batch-mean subtraction makes their gradient EXACTLY zero
+        # mathematically — the computed grad is pure fp reduction noise,
+        # and Adam's m/sqrt(v) normalizes that noise to O(1) update
+        # directions, so their post-step VALUES are sharding-dependent
+        # garbage with zero functional effect (BN re-absorbs any constant
+        # shift). Skip them here; functional equivalence is pinned below.
+        if "backbone" in key and "conv" in key and "bias" in key:
+            # sanity: the noise-driven drift stays at the lr scale
+            assert float(np.max(np.abs(
+                np.asarray(la) - np.asarray(jax.device_get(lb))
+            ))) < 5 * 1e-3
+            n_skipped += 1
+            continue
+        # sharded matmuls change the reduction order; Adam's sqrt(v)
+        # rescaling amplifies that fp noise on near-zero second moments
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(jax.device_get(lb)),
+            rtol=4e-3, atol=5e-5, err_msg=key,
+        )
+    assert n_skipped == 4  # conv0-3 biases, nothing else slipped through
+
+    # functional equivalence of the two trained models: same loss on a
+    # fresh batch (BN absorbs the conv-bias noise; everything else matched)
+    lb = _batch(np.random.default_rng(9), n=8)
+    pb2 = automoe_pooled_features(wl_c.model, variables, lb)
+    for k, p in zip(pooled_keys(4), pb2):
+        lb[k] = np.asarray(p)
+    eval_step = make_eval_step(wl_c.loss_fn)
+    ma = eval_step(st_a, lb, jax.random.key(99))
+    mb = eval_step(jax.device_get(st_b), lb, jax.random.key(99))
+    np.testing.assert_allclose(
+        float(ma["loss"]), float(mb["loss"]), rtol=2e-4,
+    )
