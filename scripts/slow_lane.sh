@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Slow verification lane — the gated checks every normal suite run skips.
+#
+# Today that is the v5e-8 deviceless AOT remat-memory pin
+# (tests/test_remat.py::test_aot_v5e_remat_memory_cut — two AOT compiles
+# of the full drivable train step, ~10 min, uncacheable because this
+# jax can't deserialize AOT executables). Add future slow AOT pins here.
+#
+# Run it:  bash scripts/slow_lane.sh          (~10-12 min, CPU only)
+# Cadence: once per round, and whenever remat, the AOT pins, or the
+# toolchain change. Results append to benchmarks/slow_lane.log with a
+# date stamp; the latest numbers are quoted in benchmarks/BENCHMARKS.md
+# ("Slow AOT lane" section). VERDICT r3 item 6.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+LOG=benchmarks/slow_lane.log
+{
+  echo "=== slow_lane $(date -u +%Y-%m-%dT%H:%M:%SZ) $(git rev-parse --short HEAD 2>/dev/null || echo nogit) ==="
+  RUN_SLOW_AOT=1 timeout 900 python -m pytest \
+    "tests/test_remat.py::test_aot_v5e_remat_memory_cut" -rA -q -s 2>&1
+  echo "exit=$?"
+} | tee -a "$LOG"
