@@ -122,6 +122,67 @@ def pipeline_apply(
     )(stacked_params, x)
 
 
+def grouped_pipeline_apply(
+    block_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    microbatches: int,
+):
+    """`pipeline_apply` for trunks DEEPER than the mesh: leaves carry a
+    leading [L] block axis with L a multiple of S = mesh 'model' size;
+    blocks fold into S pipeline stages of L/S consecutive blocks each
+    (stage s owns blocks [s*L/S, (s+1)*L/S) — exactly the contiguous
+    split a leading-axis P('model') placement gives, so `pp_shard_state`
+    params reshape shard-locally, no resharding collective).
+
+    This is the entry the product deep-policy trunk uses
+    (models/deep_policy.py); L == S degenerates to `pipeline_apply`.
+    """
+    S = mesh.shape[MODEL_AXIS]
+    L = jax.tree.leaves(stacked_params)[0].shape[0]
+    if L % S:
+        raise ValueError(f"block count {L} must divide by the mesh "
+                         f"'model' axis ({S})")
+    per = L // S
+    regrouped = jax.tree.map(
+        lambda p: p.reshape((S, per) + p.shape[1:]), stacked_params
+    )
+
+    def stage_fn(params_stage, h):
+        # params_stage leaves [L/S, ...]: this stage's consecutive blocks
+        return sequential_apply(block_fn, params_stage, h)
+
+    return pipeline_apply(stage_fn, regrouped, x, mesh,
+                          microbatches=microbatches)
+
+
+def pp_state_shardings(state: Any, mesh: Mesh, *, token: str = None):
+    """NamedSharding pytree for a TrainState whose model carries
+    [L]-stacked pipeline-trunk params: every leaf whose tree path
+    contains `token` (default: models/deep_policy.py::PIPELINE_BLOCKS)
+    is split on its leading axis over 'model' (stage s's blocks +
+    optimizer moments live only on stage s's devices); everything else
+    is replicated. Composes with the optimizer state because Adam
+    moments mirror the param tree paths."""
+    if token is None:
+        from automoe_tpu.models.deep_policy import PIPELINE_BLOCKS as token
+    stage = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def rule(path, x):
+        keys = "/".join(str(getattr(k, "key", k)) for k in path)
+        return stage if token in keys else repl
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def pp_shard_state(state: Any, mesh: Mesh):
+    sh = pp_state_shardings(state, mesh)
+    return jax.device_put(state, sh), sh
+
+
 def sequential_apply(block_fn, stacked_params, x):
     """Reference semantics of `pipeline_apply`: the S blocks in a row on
     one device (tests pin pipeline == sequential, fwd and grad)."""

@@ -9,6 +9,7 @@ train_gating_network.py — SURVEY.md §2.1 T2-T7). Each workload exposes
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -339,17 +340,54 @@ def policy_workload(
     backbone_dim: int = 512,
     image_size: int = 256,
     dtype=jnp.float32,
+    trunk_depth: int = 0,
+    trunk_width: int = 128,
+    pipeline_mesh=None,
+    pipeline_microbatches: int = 0,
 ) -> Workload:
-    """Standalone TrajectoryPolicy training (train_carla_policy.py)."""
-    model = TrajectoryPolicy(
-        horizon=horizon, context_dim=context_dim, backbone_dim=backbone_dim,
-        dtype=dtype,
-    )
+    """Standalone TrajectoryPolicy training (train_carla_policy.py).
+
+    trunk_depth > 0 swaps EasyBackbone for the depth-scalable
+    `models/deep_policy.py::DeepTrajectoryPolicy` (L residual GroupNorm
+    blocks of `trunk_width` channels). With `pipeline_mesh` (+
+    `pipeline_microbatches`) the trunk runs PIPELINE-PARALLEL across the
+    mesh's 'model' axis (parallel/pp.py::grouped_pipeline_apply);
+    the Trainer places the stacked block params per stage when
+    TrainConfig.pp_microbatches > 0."""
+    if trunk_depth > 0:
+        from automoe_tpu.models.deep_policy import DeepTrajectoryPolicy
+
+        model = DeepTrajectoryPolicy(
+            horizon=horizon, context_dim=context_dim,
+            backbone_dim=backbone_dim, depth=trunk_depth,
+            width=trunk_width, dtype=dtype,
+        )
+    else:
+        model = TrajectoryPolicy(
+            horizon=horizon, context_dim=context_dim,
+            backbone_dim=backbone_dim, dtype=dtype,
+        )
+    extra_kwargs = {}
+    if pipeline_microbatches > 0:
+        if trunk_depth <= 0:
+            raise ValueError(
+                "pipeline_microbatches needs trunk_depth > 0 (only the "
+                "deep trunk is stage-partitionable)"
+            )
+        if pipeline_mesh is None:
+            raise ValueError("pipeline_microbatches needs pipeline_mesh")
+        from automoe_tpu.parallel.pp import grouped_pipeline_apply
+
+        extra_kwargs["trunk_apply"] = functools.partial(
+            grouped_pipeline_apply, mesh=pipeline_mesh,
+            microbatches=pipeline_microbatches,
+        )
 
     def loss_fn(params, batch_stats, batch, rng, train):
         ctx = batch.get("context") if context_dim > 0 else None
         out, new_stats = _apply(
-            model, params, batch_stats, (batch["image"], ctx), rng, train
+            model, params, batch_stats, (batch["image"], ctx), rng, train,
+            extra_kwargs=extra_kwargs,
         )
         res = policy_losses(out, batch["waypoints"], batch["speed"])
         metrics = {k: v for k, v in res.items() if k != "loss"}

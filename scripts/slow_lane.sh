@@ -1,10 +1,17 @@
 #!/usr/bin/env bash
 # Slow verification lane — the gated checks every normal suite run skips.
 #
-# Today that is the v5e-8 deviceless AOT remat-memory pin
-# (tests/test_remat.py::test_aot_v5e_remat_memory_cut — two AOT compiles
-# of the full drivable train step, ~10 min, uncacheable because this
-# jax can't deserialize AOT executables). Add future slow AOT pins here.
+# Today that is:
+#  * the v5e-8 deviceless AOT remat-memory pin
+#    (tests/test_remat.py::test_aot_v5e_remat_memory_cut — two AOT
+#    compiles of the full drivable train step, ~10 min, uncacheable
+#    because this jax can't deserialize AOT executables);
+#  * the pipeline-parallel growth-path HBM proof
+#    (tests/test_deep_policy.py::test_aot_v5e_pp_memory_growth_path —
+#    the 64-block/512ch deep-policy config that exceeds one v5e's
+#    16 GiB but fits 8-stage pipelined, by XLA memory analysis).
+# Add future slow AOT pins here. NOTE: deviceless TPU topologies grab
+# the libtpu lockfile — run while no real-TPU job is active.
 #
 # Run it:  bash scripts/slow_lane.sh          (~10-12 min, CPU only)
 # Cadence: once per round, and whenever remat, the AOT pins, or the
@@ -17,7 +24,9 @@ cd "$(dirname "$0")/.."
 LOG=benchmarks/slow_lane.log
 {
   echo "=== slow_lane $(date -u +%Y-%m-%dT%H:%M:%SZ) $(git rev-parse --short HEAD 2>/dev/null || echo nogit) ==="
-  RUN_SLOW_AOT=1 timeout 900 python -m pytest \
-    "tests/test_remat.py::test_aot_v5e_remat_memory_cut" -rA -q -s 2>&1
+  RUN_SLOW_AOT=1 timeout 1800 python -m pytest \
+    "tests/test_remat.py::test_aot_v5e_remat_memory_cut" \
+    "tests/test_deep_policy.py::test_aot_v5e_pp_memory_growth_path" \
+    -rA -q -s 2>&1 | grep -v "cpu_aot_loader\|machine features"
   echo "exit=$?"
 } | tee -a "$LOG"
