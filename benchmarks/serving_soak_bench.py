@@ -1,0 +1,190 @@
+"""On-chip serving soak: BatchingServer under concurrent clients at the
+reference's 20 Hz control regime (VERDICT r3 item 5).
+
+The reference serves one synchronous model call per simulator tick
+(inference/run_automoe.py:242-291, fixed 0.05 s tick); this framework
+serves many clients through a bucketed batching server
+(serving/server.py). This soak drives the REAL server on the REAL chip
+and records, per (engine, client-count) cell:
+
+  * achieved request throughput vs offered load (clients x 20 Hz),
+  * end-to-end client latency p50/p99 (submit -> result, includes queue
+    wait + device step + this environment's ~30-45 ms host<->device RPC
+    tunnel — a production host's PCIe path subtracts that constant),
+  * the server's own stats op (queue-wait / device-step p50/p99 — the
+    new stats_snapshot percentiles),
+  * ArtifactEngine cold-start: save_serving_bundle -> ArtifactEngine()
+    -> first real result, timed (the deserialize-and-serve path
+    serving/export.py gives deployments).
+
+Engines: bf16 (the default serving dtype) and int8 PTQ
+(serving/quant.py). Run AFTER any other TPU job finishes — one chip.
+
+Usage: python benchmarks/serving_soak_bench.py [--seconds 30]
+    [--clients 1,8,32] [--engines bf16,int8] [--cold-start]
+Run in BACKGROUND with a generous timeout; never kill mid-compile
+(CLAUDE.md landmine 4).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+HZ = 20.0  # the reference's control-loop rate
+
+
+def _init_watchdog(timeout_s: float):
+    done = threading.Event()
+
+    def boom():
+        if not done.wait(timeout_s):
+            print(json.dumps({"error": f"backend init > {timeout_s}s "
+                              "(tunnel wedged?)"}), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=boom, daemon=True).start()
+    return done
+
+
+def build_engine(kind: str, camera_hw=(600, 800)):
+    import jax.numpy as jnp
+
+    from automoe_tpu.configs import default_model_config
+    from automoe_tpu.infer.engine import InferenceEngine
+
+    return InferenceEngine(
+        default_model_config(),
+        camera_hw=camera_hw,
+        dtype=jnp.bfloat16,
+        quantize=(kind == "int8"),
+    )
+
+
+def soak(engine, n_clients: int, seconds: float, *, max_batch: int = 32,
+         max_wait_ms: float = 8.0):
+    """n_clients threads each submit at 20 Hz for `seconds`; returns the
+    cell's throughput/latency record."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    rng = np.random.default_rng(0)
+    h, w = engine.camera_hw
+    frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lat, lock = [], threading.Lock()
+    stop = threading.Event()
+
+    with BatchingServer(engine, max_batch=max_batch,
+                        max_wait_ms=max_wait_ms) as srv:
+        def client(cid: int):
+            period = 1.0 / HZ
+            # stagger starts so clients don't tick in lockstep
+            next_t = time.perf_counter() + (cid % 16) * (period / 16)
+            my = []
+            while not stop.is_set():
+                now = time.perf_counter()
+                if now < next_t:
+                    time.sleep(min(next_t - now, 0.01))
+                    continue
+                next_t += period
+                t0 = time.perf_counter()
+                try:
+                    srv.submit(frame, 30.0).result(timeout=10)
+                except Exception:
+                    break
+                my.append(time.perf_counter() - t0)
+            with lock:
+                lat.extend(my)
+
+        ts = [threading.Thread(target=client, args=(i,))
+              for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in ts:
+            t.start()
+        time.sleep(seconds)
+        stop.set()
+        for t in ts:
+            t.join(timeout=15)
+        wall = time.perf_counter() - t0
+        snap = srv.stats_snapshot()
+
+    arr = np.asarray(lat, np.float64) * 1e3
+    done = len(arr)
+    return {
+        "clients": n_clients,
+        "offered_rps": round(n_clients * HZ, 1),
+        "achieved_rps": round(done / wall, 1),
+        "requests": done,
+        "e2e_ms_p50": round(float(np.percentile(arr, 50)), 2) if done else None,
+        "e2e_ms_p99": round(float(np.percentile(arr, 99)), 2) if done else None,
+        "server": {
+            k: snap.get(k)
+            for k in ("batches", "requests", "rows_padded",
+                      "queue_latency_ms_p50", "queue_latency_ms_p99",
+                      "device_latency_ms_p50", "device_latency_ms_p99")
+        },
+    }
+
+
+def cold_start(engine, tmp: Path):
+    """save bundle -> fresh ArtifactEngine -> first result, timed."""
+    from automoe_tpu.serving.export import ArtifactEngine, save_serving_bundle
+
+    bundle = tmp / "bundle"
+    t0 = time.perf_counter()
+    save_serving_bundle(engine, bundle, batch_sizes=(1, 8))
+    t_save = time.perf_counter() - t0
+    h, w = engine.camera_hw
+    frame = np.zeros((1, h, w, 3), np.uint8)
+    t1 = time.perf_counter()
+    ae = ArtifactEngine(bundle)
+    out = ae.infer_batch(frame, np.zeros((1,)))
+    np.asarray(next(iter(out.values())))
+    t_cold = time.perf_counter() - t1
+    return {"bundle_save_s": round(t_save, 2),
+            "cold_start_to_first_result_s": round(t_cold, 2)}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seconds", type=float, default=30.0)
+    p.add_argument("--clients", default="1,8,32")
+    p.add_argument("--engines", default="bf16,int8")
+    p.add_argument("--cold-start", action="store_true")
+    p.add_argument("--tmp", default="/tmp/serving_soak")
+    args = p.parse_args()
+
+    done = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", 180)))
+    import jax
+
+    from automoe_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    dev = jax.devices()[0]
+    done.set()
+
+    out = {"device": str(dev), "hz": HZ, "seconds": args.seconds}
+    for kind in args.engines.split(","):
+        engine = build_engine(kind)
+        cells = []
+        for n in (int(c) for c in args.clients.split(",")):
+            cells.append(soak(engine, n, args.seconds))
+            print(json.dumps({kind: cells[-1]}), flush=True)
+        out[kind] = cells
+        if args.cold_start and kind == "bf16":
+            out["cold_start_bf16"] = cold_start(engine, Path(args.tmp))
+            print(json.dumps({"cold_start_bf16": out["cold_start_bf16"]}),
+                  flush=True)
+        del engine
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
