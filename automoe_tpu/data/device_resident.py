@@ -164,6 +164,81 @@ class DeviceEpochLoader:
         self._skip_groups = 0
         self.set_epoch(0)
 
+    @classmethod
+    def from_dataset(
+        cls,
+        dataset,
+        *,
+        batch_size: int,
+        group_size: int = 1,
+        mesh=None,
+        drop=("image",),
+        shared: Optional[Dict[str, np.ndarray]] = None,
+        seed: int = 0,
+        shuffle: bool = True,
+        read_chunk: int = 256,
+        verbose: bool = True,
+    ) -> "DeviceEpochLoader":
+        """Materialize a map-style dataset into an HBM-resident loader.
+
+        Reads every sample once on the host (the dataset's `read_batch`
+        fast path when it has one), drops `drop` keys (the cached-gating
+        step's `image` is structurally required but DCE'd — supply a
+        tiny dummy via `shared` instead of staging real frames), skips
+        non-array fields, and trims N down to a multiple of
+        batch_size*group_size (static shapes — the same drop-last rule
+        as the host DataLoader, extended to the scan group)."""
+        n_total = len(dataset)
+        B, K = batch_size, max(1, group_size)
+        n = (n_total // (B * K)) * (B * K)
+        if n == 0:
+            raise ValueError(
+                f"dataset has {n_total} samples < one "
+                f"batch_size*group_size={B * K} group"
+            )
+        reader = getattr(dataset, "read_batch", None)
+        dropped = set(drop) | {"_real_count"}
+        chunks: list = []
+        for lo in range(0, n, read_chunk):
+            idxs = list(range(lo, min(lo + read_chunk, n)))
+            if reader is not None:
+                c = dict(reader(idxs))
+                # free dropped fields (e.g. frames) per chunk, not at the
+                # end — one chunk of images is the transient bound
+                for d in dropped:
+                    c.pop(d, None)
+            else:
+                rows = [dataset[i] for i in idxs]
+                keys = set(rows[0])
+                for r in rows[1:]:
+                    keys &= set(r)
+                c = {
+                    k: np.stack([np.asarray(r[k]) for r in rows])
+                    for k in sorted(keys - dropped)
+                    if not isinstance(rows[0][k], (list, str))
+                }
+            chunks.append(c)
+        keys = set(chunks[0])
+        for c in chunks[1:]:
+            keys &= set(c)
+        arrays = {
+            k: np.concatenate([c[k] for c in chunks])
+            for k in sorted(keys)
+            if np.asarray(chunks[0][k]).dtype != object
+        }
+        if verbose:
+            nbytes = sum(v.nbytes for v in arrays.values())
+            print(
+                f"[device-resident] staged {n}/{n_total} samples, "
+                f"{len(arrays)} fields, {nbytes / 2**20:.1f} MiB "
+                f"(drop rule: {sorted(drop)})",
+                flush=True,
+            )
+        return cls(
+            arrays, batch_size=B, group_size=K, mesh=mesh, shared=shared,
+            seed=seed, shuffle=shuffle,
+        )
+
     def __len__(self) -> int:  # BATCHES per epoch (Trainer schedule unit)
         return self._steps_per_epoch
 

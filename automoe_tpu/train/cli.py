@@ -417,6 +417,18 @@ def cmd_gating(args):
         # context, policy — parallel/tp.py), all of which remain in the
         # cached step; equivalence pinned in
         # tests/test_feature_cache.py::test_cached_step_tp_equivalence
+    if args.device_resident:
+        if not args.cache_expert_features:
+            raise SystemExit(
+                "--device-resident requires --cache-expert-features (raw "
+                "frames don't fit HBM; the cached working set does)"
+            )
+        if jax.process_count() > 1:
+            raise SystemExit(
+                "--device-resident is single-host for now (per-process "
+                "dataset shards already split N; composing that with the "
+                "resident reshuffle is untested)"
+            )
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 
@@ -488,6 +500,30 @@ def cmd_gating(args):
             mesh=trainer.mesh,
             cache_dir=args.feature_cache_dir,
             cache_tags=[f"{args.data_root}:train", f"{args.data_root}:val"],
+        )
+    if args.device_resident:
+        # Stage the (cached) epoch working set HBM-resident once and feed
+        # the Trainer pre-grouped device batches: zero per-step H2D, one
+        # metrics RPC per steps_per_call — holds the device-step bound
+        # for whole epochs on thin-host/tunneled runtimes (measured 1.06x
+        # the differenced bound, benchmarks/BENCHMARKS.md "Sustained
+        # epoch"). Requires the feature cache: with it the per-sample
+        # working set is ~7 KB (pooled features + control targets; the
+        # DCE'd image input is satisfied by a tiny shared dummy instead
+        # of real frames).
+        import numpy as np
+
+        from automoe_tpu.data.device_resident import DeviceEpochLoader
+
+        K = max(1, args.steps_per_call)
+        dummy = {"image": np.zeros((args.batch_size, 4, 4, 3), np.float32)}
+        trainer.train_loader = DeviceEpochLoader.from_dataset(
+            train.dataset, batch_size=args.batch_size, group_size=K,
+            mesh=trainer.mesh, shared=dummy, seed=args.seed,
+        )
+        trainer.val_loader = DeviceEpochLoader.from_dataset(
+            val.dataset, batch_size=args.batch_size, group_size=1,
+            mesh=trainer.mesh, shared=dummy, seed=args.seed, shuffle=False,
         )
     return trainer.fit(_args_dump(args))
 
@@ -612,6 +648,11 @@ def main(argv=None):
                          "features in one eval pass, then train WITHOUT "
                          "re-running the expert trunks (~3x step time; "
                          "frozen-BN semantics — train/feature_cache.py)")
+    pg.add_argument("--device-resident", action="store_true",
+                    help="stage the cached epoch working set in HBM once "
+                         "and train from pre-grouped device batches (zero "
+                         "per-step H2D; needs --cache-expert-features; "
+                         "best with --steps-per-call K)")
     pg.add_argument("--feature-cache-dir", default=None,
                     help="persist the pooled-feature cache here (keyed by "
                          "frozen expert weights + dataset); restarts load "

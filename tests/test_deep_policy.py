@@ -294,9 +294,21 @@ def test_aot_v5e_pp_memory_growth_path():
     kw = dict(depth=64, width=512, image=256, batch=32)
 
     mesh1 = Mesh(np.asarray(td.devices)[:1].reshape(1, 1), ("data", "model"))
-    one = _compile_pp_step(mesh1, **kw, micro=0, sharded=False).memory_analysis()
-    single = (one.argument_size_in_bytes + one.output_size_in_bytes
-              + one.temp_size_in_bytes)
+    # This toolchain's deviceless TPU compiler enforces the HBM budget at
+    # compile time: the single-chip compile of this config ABORTS with
+    # RESOURCE_EXHAUSTED (measured 2026-08-19: a 32 GiB allocation vs the
+    # 16 GiB space) rather than returning an executable to memory_analysis.
+    # That abort IS the does-not-fit evidence; older stacks that compile
+    # anyway fall through to the memory-analysis comparison.
+    try:
+        one = _compile_pp_step(
+            mesh1, **kw, micro=0, sharded=False
+        ).memory_analysis()
+        single = (one.argument_size_in_bytes + one.output_size_in_bytes
+                  + one.temp_size_in_bytes)
+    except Exception as e:  # jax.errors.JaxRuntimeError
+        assert "RESOURCE_EXHAUSTED" in repr(e), e
+        single = float("inf")
 
     mesh8 = Mesh(np.asarray(td.devices).reshape(1, 8), ("data", "model"))
     pp = _compile_pp_step(mesh8, **kw, micro=8, sharded=True).memory_analysis()

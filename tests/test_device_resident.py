@@ -167,3 +167,60 @@ def test_pre_grouped_save_every_steps(tmp_path):
     assert saved == [4, 8], saved
     step_dir = tmp_path / "ckpt" / "bdd_drivable" / "t" / "step"
     assert step_dir.exists()  # mid-epoch ckpt present until epoch save
+
+
+class _MapDS:
+    """Map-style dataset with optional read_batch fast path."""
+
+    def __init__(self, n, with_read_batch=False, seed=0):
+        rng = np.random.default_rng(seed)
+        self.cols = {
+            "image": rng.normal(size=(n, 8, 8, 3)).astype(np.float32),
+            "speed": rng.uniform(0, 10, (n, 4)).astype(np.float32),
+            "waypoints": rng.normal(size=(n, 4, 2)).astype(np.float32),
+        }
+        self.n = n
+        if with_read_batch:
+            self.read_batch = self._read_batch
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {k: v[i] for k, v in self.cols.items()}
+
+    def _read_batch(self, idxs):
+        ix = np.asarray(idxs)
+        return {k: v[ix] for k, v in self.cols.items()}
+
+
+@pytest.mark.parametrize("fast", [False, True], ids=["rows", "read_batch"])
+def test_from_dataset_materializes_trims_and_drops(fast):
+    """from_dataset stages every kept field bit-exactly, trims N to a
+    batch_size*group_size multiple, drops the `drop` keys (the DCE'd
+    image), and re-yields `shared` constants with every group."""
+    ds = _MapDS(n=11, with_read_batch=fast)
+    B, K = 2, 2
+    shared = {"image": np.zeros((B, 4, 4, 3), np.float32)}
+    dl = DeviceEpochLoader.from_dataset(
+        ds, batch_size=B, group_size=K, shared=shared, shuffle=False,
+        read_chunk=3, verbose=False,
+    )
+    assert len(dl) == 4  # 11 samples -> trimmed to 8 -> 4 batches of B=2
+    groups = list(dl)
+    assert len(groups) == 2
+    g0 = groups[0]
+    assert set(g0) == {"speed", "waypoints", "image"}
+    assert g0["speed"].shape == (K, B, 4)
+    assert g0["image"].shape == (K, B, 4, 4, 3)  # the shared dummy, tiled
+    # shuffle=False: concatenated groups reproduce the source order exactly
+    got = np.concatenate([np.asarray(g["speed"]).reshape(-1, 4)
+                          for g in groups])
+    np.testing.assert_array_equal(got, ds.cols["speed"][:8])
+
+
+def test_from_dataset_too_small_raises():
+    with pytest.raises(ValueError, match="samples <"):
+        DeviceEpochLoader.from_dataset(
+            _MapDS(n=3), batch_size=4, group_size=2, verbose=False
+        )

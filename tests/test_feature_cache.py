@@ -292,6 +292,56 @@ def test_cli_gating_cache_smoke(tmp_path, rng):
     assert (tmp_path / "ckpt" / "gating" / "cache_test" / "best").exists()
 
 
+def test_cli_gating_device_resident_smoke(tmp_path, rng):
+    """gating --cache-expert-features --device-resident --steps-per-call 2
+    end-to-end on the 8-device mesh: the cached epoch working set stages
+    HBM-resident (images replaced by the DCE'd dummy), the Trainer's
+    pre-grouped scan path consumes [K,B,...] device groups, and a best
+    checkpoint lands."""
+    import torch
+
+    from tests.test_data import _make_carla_frame
+    from tests.torch_mirror import install_torchvision_stub
+
+    install_torchvision_stub()
+    from automoe_tpu.train.cli import main as train_main
+
+    root = tmp_path / "carla"
+    for split in ("train", "val"):
+        d = root / split / "run_001"
+        d.mkdir(parents=True)
+        for t in range(24):
+            torch.save(
+                _make_carla_frame(rng, frame_id=t, run_id="run_001"),
+                d / f"{t:04d}.pt",
+            )
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(MODEL_CFG))
+    out = train_main([
+        "gating", "--cache-expert-features", "--device-resident",
+        "--steps-per-call", "2",
+        "--model-config", str(cfg_path),
+        "--data-root", str(root),
+        "--epochs", "1", "--batch-size", "8", "--num-workers", "1",
+        "--image-size", "32",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "devres_test",
+    ])
+    assert np.isfinite(out["best_val_loss"])
+    assert (tmp_path / "ckpt" / "gating" / "devres_test" / "best").exists()
+
+
+def test_cli_device_resident_guard(tmp_path):
+    from automoe_tpu.train.cli import main as train_main
+
+    with pytest.raises(SystemExit, match="requires --cache-expert-features"):
+        train_main([
+            "gating", "--device-resident",
+            "--data-root", str(tmp_path), "--no-mesh",
+        ])
+
+
 def test_cli_cache_guards(tmp_path):
     from automoe_tpu.train.cli import main as train_main
 
