@@ -63,6 +63,7 @@ def pipeline_apply(
     mesh: Mesh,
     *,
     microbatches: int,
+    remat: bool = True,
 ):
     """y = block_S(...block_2(block_1(x))), stages pipelined over 'model'.
 
@@ -70,6 +71,16 @@ def pipeline_apply(
     (S = mesh 'model' size), placed with `stage_param_sharding`.
     x: [B, ...] with B divisible by (data_axis * microbatches).
     block_fn(params_s, h) -> h', shape-preserving, sample-independent.
+
+    remat (default on — GPipe's memory profile): `jax.checkpoint` the
+    per-tick stage application, so the backward stashes only the stage
+    INPUT per tick ([T, mb, ...] boundaries) and recomputes the stage's
+    internal activations — without it the scan's VJP keeps every conv/
+    norm intermediate of every tick live, which for a 64-block 512-wide
+    trunk is ~4x 7.5 GiB/device (measured via the v5e-8 deviceless AOT,
+    tests/test_deep_policy.py::test_aot_v5e_pp_memory_growth_path); cost
+    is one extra stage forward per tick in the backward. Values are
+    bit-identical (same ops, same order).
 
     Returns y with x's shape, sharded like the input batch (P('data')).
     """
@@ -93,10 +104,11 @@ def pipeline_apply(
         feed = jnp.concatenate([xs, drain], axis=0)  # [T, mb, ...]
         idx = jax.lax.axis_index(MODEL_AXIS)
         rot = [(i, (i + 1) % S) for i in range(S)]
+        apply_stage = jax.checkpoint(block_fn) if remat else block_fn
 
         def tick(cur, feed_t):
             cur = jnp.where(idx == 0, feed_t, cur)
-            y = block_fn(params, cur)
+            y = apply_stage(params, cur)
             nxt = jax.lax.ppermute(y, MODEL_AXIS, rot)
             return nxt, y
 
@@ -129,6 +141,7 @@ def grouped_pipeline_apply(
     mesh: Mesh,
     *,
     microbatches: int,
+    remat: bool = True,
 ):
     """`pipeline_apply` for trunks DEEPER than the mesh: leaves carry a
     leading [L] block axis with L a multiple of S = mesh 'model' size;
@@ -155,7 +168,7 @@ def grouped_pipeline_apply(
         return sequential_apply(block_fn, params_stage, h)
 
     return pipeline_apply(stage_fn, regrouped, x, mesh,
-                          microbatches=microbatches)
+                          microbatches=microbatches, remat=remat)
 
 
 def pp_state_shardings(state: Any, mesh: Mesh, *, token: str = None):
