@@ -225,6 +225,15 @@ class InferenceEngine:
         One XLA program per distinct B (compiled once, then cached) —
         the serving front-end (serving/server.py) pads to fixed bucket
         sizes so only a handful of programs ever exist."""
+        return self.fetch(*self.dispatch_batch(frames_u8, speeds_kmh))
+
+    def dispatch_batch(self, frames_u8: np.ndarray, speeds_kmh: np.ndarray):
+        """`infer_batch` without the host fetch: uploads + enqueues the
+        XLA step and returns (device_outputs, real_b) immediately (jax
+        dispatch is async). Lets a serving front-end overlap the NEXT
+        batch's H2D/dispatch with THIS batch's D2H — the two-stage
+        pipeline behind serving/server.py's `pipeline_depth`. Complete
+        with `InferenceEngine.fetch`."""
         speeds = np.asarray(speeds_kmh, np.float32).reshape(-1, 1)
         if frames_u8.shape[0] != speeds.shape[0]:
             raise ValueError(
@@ -238,4 +247,10 @@ class InferenceEngine:
             self.variables, self._qexperts, self._mats_dev,
             jnp.asarray(frames_u8), jnp.asarray(speeds),
         )
+        return out, real_b
+
+    @staticmethod
+    def fetch(out, real_b: int) -> Dict[str, np.ndarray]:
+        """Host-fetch a `dispatch_batch` result (blocks until the device
+        step and D2H complete), trimming engine-side padding."""
         return {k: np.asarray(v)[:real_b] for k, v in out.items()}

@@ -89,6 +89,20 @@ def main(argv: Optional[Sequence[str]] = None, block: bool = True):
     p.add_argument("--port", type=int, default=8471)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help=">=2 overlaps the next batch's H2D/dispatch "
+                        "with the current batch's device step + D2H "
+                        "(bounded in-flight queue); 1 = serial worker "
+                        "(default: with CLOSED-LOOP clients — each "
+                        "blocking on its result, the reference's 20 Hz "
+                        "regime — depth 2 splits the outstanding-"
+                        "request population into smaller padded "
+                        "batches, measured 2x WORSE on a transfer-"
+                        "bound path; see BENCHMARKS.md serving soak. "
+                        "Use >=2 for open-loop traffic on hosts where "
+                        "device compute is comparable to H2D). Engines "
+                        "without dispatch_batch (--bundle) fall back "
+                        "to serial")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard serving batches over ALL devices (a "
                         "'data' mesh): params replicate, each request "
@@ -107,7 +121,7 @@ def main(argv: Optional[Sequence[str]] = None, block: bool = True):
     )
     batcher = BatchingServer(
         engine, max_batch=max_batch, max_wait_ms=args.max_wait_ms,
-        buckets=buckets,
+        buckets=buckets, pipeline_depth=args.pipeline_depth,
     ).start()
     srv = serve_tcp(batcher, host=args.host, port=args.port)
     host, port = srv.server_address[:2]

@@ -12,6 +12,20 @@ to out-of-process clients.
 Throughput model: at bucket 8 the v5e device step is well under the 20 Hz
 tick budget, so batching trades ~max_wait_ms of added latency for ~Bx
 throughput — knobs the deployment picks.
+
+`pipeline_depth >= 2` splits the worker into a dispatch stage (group
+formation + H2D + async XLA enqueue) and a fetch stage (D2H + future
+resolution) with a bounded in-flight count, so batch n+1's upload
+overlaps batch n's device step and result fetch. When to use it is a
+measured trade (BENCHMARKS.md serving soak): with CLOSED-LOOP clients
+(each blocks on its result — the reference's 20 Hz control regime) the
+fixed outstanding-request population splits across the in-flight
+batches, halving batch sizes and doubling bucket padding, and on a
+transfer-bound path that measured ~2x WORSE than serial — hence the
+serve CLI defaults to 1. Use >=2 for open-loop traffic on hosts where
+device compute is comparable to H2D (production PCIe at large buckets).
+Serial/pipelined row equivalence is pinned in
+tests/test_serving_server.py.
 """
 from __future__ import annotations
 
@@ -43,10 +57,30 @@ class BatchingServer:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         buckets: Optional[Sequence[int]] = None,
+        pipeline_depth: int = 1,
     ):
         self.engine = engine
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        # pipeline_depth >= 2 splits the worker into a dispatch stage
+        # (form group -> upload + enqueue the XLA step, async) and a
+        # fetch stage (D2H + resolve futures), with at most
+        # `pipeline_depth` batches in flight: batch n+1's H2D overlaps
+        # batch n's device step + D2H. Requires the engine to expose
+        # dispatch_batch/fetch (infer/engine.py); falls back to the
+        # serial worker otherwise (e.g. ArtifactEngine).
+        self.pipeline_depth = int(pipeline_depth)
+        if self.pipeline_depth > 1 and not hasattr(engine, "dispatch_batch"):
+            self.pipeline_depth = 1
+        self._fly: Optional["queue.Queue"] = None
+        self._fetcher: Optional[threading.Thread] = None
+        # dispatched-but-not-yet-fetched batches. NOT the same as
+        # _fly.qsize(): the fetch thread pops an item immediately and
+        # then blocks in D2H for ~the whole batch duration, so queue
+        # occupancy undercounts in-flight work by one — the counter is
+        # only decremented once the fetch completes.
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         if buckets is None:
             buckets = []
             b = 1
@@ -81,6 +115,12 @@ class BatchingServer:
                 self.engine.infer_batch(
                     np.zeros((b, h, w, 3), np.uint8), np.zeros((b,))
                 )
+        if self.pipeline_depth > 1:
+            self._fly = queue.Queue(maxsize=self.pipeline_depth)
+            self._fetcher = threading.Thread(
+                target=self._run_fetch, daemon=True
+            )
+            self._fetcher.start()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         return self
@@ -90,6 +130,11 @@ class BatchingServer:
         if self._worker is not None:
             self._worker.join(timeout=5)
             self._worker = None
+        if self._fetcher is not None:
+            self._fly.put(None)  # sentinel
+            self._fetcher.join(timeout=10)
+            self._fetcher = None
+            self._fly = None
         # resolve abandoned requests so callers blocked in .result() wake
         while True:
             try:
@@ -137,6 +182,7 @@ class BatchingServer:
         return self.buckets[-1]
 
     def _run(self):
+        proc = self._dispatch if self.pipeline_depth > 1 else self._process
         while not self._stop.is_set():
             try:
                 first = self._q.get(timeout=0.05)
@@ -152,33 +198,40 @@ class BatchingServer:
                     group.append(self._q.get(timeout=remain))
                 except queue.Empty:
                     break
+            # Backpressure-adaptive grouping (pipelined mode): while the
+            # pipeline already holds `pipeline_depth` unfetched batches,
+            # dispatching another buys no overlap — it would only cut
+            # this group short and pad it to its bucket, and every
+            # padded slot costs a full frame of H2D bytes. Keep
+            # absorbing arrivals into THIS group until a slot frees.
+            if self._fly is not None:
+                while (len(group) < self.max_batch
+                       and self._in_flight() >= self.pipeline_depth
+                       and not self._stop.is_set()):
+                    try:
+                        group.append(self._q.get(timeout=0.002))
+                    except queue.Empty:
+                        pass
             try:
-                self._process(group)
+                proc(group)
             except Exception as e:  # never let the worker die
                 for _, _, fut, _ in group:
                     if not fut.done():
                         fut.set_exception(e)
 
-    def _process(self, group):
-        t_formed = time.perf_counter()
-        try:
-            frames = np.stack([g[0] for g in group])
-            speeds = np.asarray([g[1] for g in group], np.float32)
-            n = len(group)
-            b = self._bucket_for(n)
-            if b > n:  # pad by repeating the last row — static shapes
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], b - n, axis=0)]
-                )
-                speeds = np.concatenate(
-                    [speeds, np.repeat(speeds[-1:], b - n)]
-                )
-            out = self.engine.infer_batch(frames, speeds)
-        except Exception as e:  # propagate to every caller
-            for _, _, fut, _ in group:
-                fut.set_exception(e)
-            return
-        t_done = time.perf_counter()
+    def _form_arrays(self, group):
+        frames = np.stack([g[0] for g in group])
+        speeds = np.asarray([g[1] for g in group], np.float32)
+        n = len(group)
+        b = self._bucket_for(n)
+        if b > n:  # pad by repeating the last row — static shapes
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], b - n, axis=0)]
+            )
+            speeds = np.concatenate([speeds, np.repeat(speeds[-1:], b - n)])
+        return frames, speeds, n, b
+
+    def _record(self, group, n: int, b: int, t_formed: float, t_done: float):
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["rows_padded"] += b - n
@@ -187,8 +240,67 @@ class BatchingServer:
             self._device_lat.append(t_done - t_formed)
             for _, _, _, t_enq in group:
                 self._queue_lat.append(t_formed - t_enq)
+
+    def _process(self, group):
+        t_formed = time.perf_counter()
+        try:
+            frames, speeds, n, b = self._form_arrays(group)
+            out = self.engine.infer_batch(frames, speeds)
+        except Exception as e:  # propagate to every caller
+            for _, _, fut, _ in group:
+                fut.set_exception(e)
+            return
+        t_done = time.perf_counter()
+        self._record(group, n, b, t_formed, t_done)
         for i, (_, _, fut, _) in enumerate(group):
             fut.set_result({k: v[i] for k, v in out.items()})
+
+    # -- pipelined worker (pipeline_depth >= 2) ----------------------------
+    #
+    # Dispatch stage: upload + enqueue the XLA step (async under jax) and
+    # hand the un-fetched device outputs to the fetch stage through a
+    # bounded queue — so batch n+1's group formation + H2D runs while
+    # batch n is still on the device / in D2H. The bounded queue is the
+    # backpressure: at most `pipeline_depth` batches in flight.
+
+    def _in_flight(self) -> int:
+        with self._inflight_lock:
+            return self._inflight
+
+    def _dispatch(self, group):
+        t_formed = time.perf_counter()
+        try:
+            frames, speeds, n, b = self._form_arrays(group)
+            out, real_b = self.engine.dispatch_batch(frames, speeds)
+        except Exception as e:
+            for _, _, fut, _ in group:
+                fut.set_exception(e)
+            return
+        with self._inflight_lock:
+            self._inflight += 1
+        self._fly.put((group, out, real_b, n, b, t_formed))
+
+    def _run_fetch(self):
+        while True:
+            item = self._fly.get()
+            if item is None:  # close() sentinel, queue already drained
+                return
+            group, out, real_b, n, b, t_formed = item
+            try:
+                host = self.engine.fetch(out, real_b)
+            except Exception as e:
+                for _, _, fut, _ in group:
+                    if not fut.done():
+                        fut.set_exception(e)
+                with self._inflight_lock:
+                    self._inflight -= 1
+                continue
+            t_done = time.perf_counter()
+            self._record(group, n, b, t_formed, t_done)
+            for i, (_, _, fut, _) in enumerate(group):
+                fut.set_result({k: v[i] for k, v in host.items()})
+            with self._inflight_lock:
+                self._inflight -= 1
 
     def stats_snapshot(self) -> Dict:
         """Counters plus p50/p99 queue-wait and device-step latency (ms)

@@ -70,7 +70,7 @@ def build_engine(kind: str, camera_hw=(600, 800)):
 
 
 def soak(engine, n_clients: int, seconds: float, *, max_batch: int = 32,
-         max_wait_ms: float = 8.0):
+         max_wait_ms: float = 8.0, pipeline_depth: int = 1):
     """n_clients threads each submit at 20 Hz for `seconds`; returns the
     cell's throughput/latency record."""
     from automoe_tpu.serving.server import BatchingServer
@@ -82,7 +82,8 @@ def soak(engine, n_clients: int, seconds: float, *, max_batch: int = 32,
     stop = threading.Event()
 
     with BatchingServer(engine, max_batch=max_batch,
-                        max_wait_ms=max_wait_ms) as srv:
+                        max_wait_ms=max_wait_ms,
+                        pipeline_depth=pipeline_depth) as srv:
         def client(cid: int):
             period = 1.0 / HZ
             # stagger starts so clients don't tick in lockstep
@@ -139,7 +140,7 @@ def cold_start(engine, tmp: Path):
 
     bundle = tmp / "bundle"
     t0 = time.perf_counter()
-    save_serving_bundle(engine, bundle, batch_sizes=(1, 8))
+    save_serving_bundle(engine, bundle, buckets=(1, 8))
     t_save = time.perf_counter() - t0
     h, w = engine.camera_hw
     frame = np.zeros((1, h, w, 3), np.uint8)
@@ -152,12 +153,64 @@ def cold_start(engine, tmp: Path):
             "cold_start_to_first_result_s": round(t_cold, 2)}
 
 
+def tunnel_probe(camera_hw=(600, 800)):
+    """Measure THIS environment's host<->device path so the soak cells
+    can be attributed: on axon every dispatch/fetch rides a remote
+    tunnel (~tens of ms RTT, ~50 MB/s), so a 1.44 MB camera frame pays
+    a transfer floor a production host's PCIe path would not. Reports
+    the fetch RTT (median of small-scalar fetches) and the effective
+    H2D MB/s (uploading one frame batch, forced by a dependent scalar
+    fetch — `block_until_ready` acks early on this stack, CLAUDE.md
+    landmine 2), plus the derived per-request floor at batch 1."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros(())
+    np.asarray(tiny)  # first-fetch warmup
+    rtts = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(tiny + 0.0)
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtts)) * 1e3
+
+    h, w = camera_hw
+    frame = np.random.default_rng(0).integers(
+        0, 256, (1, h, w, 3), dtype=np.uint8
+    )
+    reduce_fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    np.asarray(reduce_fn(jnp.asarray(frame)))  # warm the reducer
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        dx = jax.device_put(frame)
+        np.asarray(reduce_fn(dx))  # D2H scalar forces the upload done
+        ts.append(time.perf_counter() - t0)
+    up_s = max(float(np.median(ts)) - rtt_ms / 1e3, 1e-6)
+    mb = frame.nbytes / 2**20
+    return {
+        "rpc_fetch_rtt_ms": round(rtt_ms, 1),
+        "h2d_MB_per_s": round(mb / up_s, 1),
+        "frame_MB": round(mb, 2),
+        "batch1_tunnel_floor_ms": round(rtt_ms + up_s * 1e3, 1),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--clients", default="1,8,32")
     p.add_argument("--engines", default="bf16,int8")
     p.add_argument("--cold-start", action="store_true")
+    p.add_argument("--pipeline-depth", default="1",
+                   help="comma list, e.g. '1,2': each (engine, clients) "
+                        "cell runs once per depth BACK-TO-BACK so serial "
+                        "vs pipelined share tunnel conditions (the "
+                        "shared relay's bandwidth swings 7x between "
+                        "runs); 1 = serial worker (default — measured "
+                        "better under closed-loop clients, see "
+                        "BENCHMARKS.md), >=2 = dispatch/fetch "
+                        "pipelining for open-loop/compute-bound hosts")
     p.add_argument("--tmp", default="/tmp/serving_soak")
     args = p.parse_args()
 
@@ -170,13 +223,19 @@ def main():
     dev = jax.devices()[0]
     done.set()
 
-    out = {"device": str(dev), "hz": HZ, "seconds": args.seconds}
+    out = {"device": str(dev), "hz": HZ, "seconds": args.seconds,
+           "tunnel": tunnel_probe()}
+    print(json.dumps({"tunnel": out["tunnel"]}), flush=True)
     for kind in args.engines.split(","):
         engine = build_engine(kind)
         cells = []
+        depths = [int(d) for d in str(args.pipeline_depth).split(",")]
         for n in (int(c) for c in args.clients.split(",")):
-            cells.append(soak(engine, n, args.seconds))
-            print(json.dumps({kind: cells[-1]}), flush=True)
+            for depth in depths:
+                cell = soak(engine, n, args.seconds, pipeline_depth=depth)
+                cell["pipeline_depth"] = depth
+                cells.append(cell)
+                print(json.dumps({kind: cell}), flush=True)
         out[kind] = cells
         if args.cold_start and kind == "bf16":
             out["cold_start_bf16"] = cold_start(engine, Path(args.tmp))

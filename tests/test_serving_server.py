@@ -358,3 +358,86 @@ def test_server_desync_and_close_robustness(engine):
         b2.close()
     with pytest.raises(RuntimeError, match="server closed"):
         fut.result(timeout=5)
+
+
+def test_pipelined_server_matches_serial(engine):
+    """pipeline_depth >= 2 (the serve CLI default) splits the worker into
+    dispatch + fetch stages with a bounded in-flight queue; rows must be
+    identical to the serial worker's (same engine, same bucket math) and
+    every request must resolve."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    frames = _frames(12, seed=7)
+    speeds = np.arange(12, dtype=np.float32)
+    ref = engine.infer_batch(frames, speeds)
+
+    with BatchingServer(engine, max_batch=4, max_wait_ms=20,
+                        pipeline_depth=3) as srv:
+        assert srv._fetcher is not None  # pipelined worker actually on
+        futs = [srv.submit(frames[i], float(speeds[i])) for i in range(12)]
+        rows = [f.result(timeout=120) for f in futs]
+    assert srv.stats["requests"] == 12
+    snap = srv.stats_snapshot()
+    assert snap["device_latency_ms_p50"] is not None
+    for i, row in enumerate(rows):
+        np.testing.assert_allclose(
+            row["waypoints"], ref["waypoints"][i], rtol=2e-2, atol=2e-2
+        )
+
+
+def test_pipelined_fetch_error_propagates(engine):
+    """An exception in the FETCH stage must resolve that batch's futures
+    with the error (not hang callers or kill the fetch thread), and the
+    server must keep serving afterwards."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    class FlakyFetch:
+        """Engine facade whose first fetch raises."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.camera_hw = inner.camera_hw
+            self._fail = True
+
+        def infer_batch(self, f, s):
+            return self._inner.infer_batch(f, s)
+
+        def dispatch_batch(self, f, s):
+            return self._inner.dispatch_batch(f, s)
+
+        def fetch(self, out, real_b):
+            if self._fail:
+                self._fail = False
+                raise RuntimeError("boom")
+            return self._inner.fetch(out, real_b)
+
+    flaky = FlakyFetch(engine)
+    frame = _frames(1, seed=8)[0]
+    with BatchingServer(flaky, max_batch=2, max_wait_ms=10,
+                        pipeline_depth=2) as srv:
+        with pytest.raises(RuntimeError, match="boom"):
+            srv.submit(frame, 1.0).result(timeout=60)
+        out = srv.submit(frame, 1.0).result(timeout=60)  # still serving
+        assert np.isfinite(out["waypoints"]).all()
+
+
+def test_pipelined_falls_back_without_dispatch(engine):
+    """Engines without dispatch_batch/fetch (e.g. ArtifactEngine) force
+    the serial worker even when pipeline_depth > 1 is requested."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    class Facade:
+        def __init__(self, inner):
+            self._inner = inner
+            self.camera_hw = inner.camera_hw
+
+        def infer_batch(self, f, s):
+            return self._inner.infer_batch(f, s)
+
+    srv = BatchingServer(Facade(engine), max_batch=2, max_wait_ms=10,
+                         pipeline_depth=4)
+    assert srv.pipeline_depth == 1
+    with srv:
+        out = srv.infer(_frames(1, seed=9)[0], 2.0)
+    assert out["waypoints"].ndim == 2
+    assert srv._fetcher is None
