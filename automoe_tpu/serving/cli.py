@@ -113,7 +113,13 @@ def main(argv: Optional[Sequence[str]] = None, block: bool = True):
     args = p.parse_args(argv)
 
     from automoe_tpu.serving.server import BatchingServer, serve_tcp
+    from automoe_tpu.utils import enable_compile_cache
 
+    # Persistent compile cache: a restart of this serving host re-lowers
+    # the same programs (engine jit, or the bundle's deserialize+call),
+    # and the cache turns that recompile into a load (measured on chip:
+    # BENCHMARKS.md serving-soak cold-start split).
+    enable_compile_cache()
     engine = build_engine(args)
     buckets = getattr(engine, "buckets", None)  # ArtifactEngine pins them
     max_batch = (

@@ -134,23 +134,104 @@ def soak(engine, n_clients: int, seconds: float, *, max_batch: int = 32,
     }
 
 
+def open_loop_soak(engine, rate_rps: float, seconds: float, *,
+                   max_batch: int = 32, max_wait_ms: float = 8.0,
+                   pipeline_depth: int = 1, drain_s: float = 30.0):
+    """OPEN-LOOP arrivals: one generator submits at an aggregate
+    `rate_rps` without blocking on results (a fleet front door), so the
+    group size is set by arrival rate x max_wait, not by the number of
+    outstanding closed-loop clients. This is the regime where
+    dispatch/fetch pipelining (`pipeline_depth>=2`) can pay: batch k+1's
+    H2D rides the tunnel's upstream while batch k's D2H rides the
+    downstream. Latency is submit -> future done (completion-callback
+    timestamped); unfinished requests at the end of the drain window are
+    reported as backlog, not silently dropped."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    rng = np.random.default_rng(0)
+    h, w = engine.camera_hw
+    frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lat, lock = [], threading.Lock()
+
+    with BatchingServer(engine, max_batch=max_batch,
+                        max_wait_ms=max_wait_ms,
+                        pipeline_depth=pipeline_depth) as srv:
+        submitted = 0
+        period = 1.0 / rate_rps
+        t0 = time.perf_counter()
+        next_t = t0
+        while True:
+            now = time.perf_counter()
+            if now - t0 >= seconds:
+                break
+            if now < next_t:
+                time.sleep(min(next_t - now, 0.005))
+                continue
+            next_t += period
+            t_sub = time.perf_counter()
+
+            def done_cb(fut, t_sub=t_sub):
+                t_done = time.perf_counter()
+                if fut.exception() is None:
+                    with lock:
+                        lat.append(t_done - t_sub)
+
+            srv.submit(frame, 30.0).add_done_callback(done_cb)
+            submitted += 1
+        gen_wall = time.perf_counter() - t0
+        # drain: give outstanding requests a bounded window to finish
+        t_drain = time.perf_counter()
+        while time.perf_counter() - t_drain < drain_s:
+            with lock:
+                if len(lat) >= submitted:
+                    break
+            time.sleep(0.05)
+        wall = time.perf_counter() - t0
+        snap = srv.stats_snapshot()
+
+    with lock:
+        arr = np.asarray(lat, np.float64) * 1e3
+    done = len(arr)
+    return {
+        "open_loop_rps": rate_rps,
+        "submitted": submitted,
+        "completed": done,
+        "backlog_at_drain_end": submitted - done,
+        "achieved_rps": round(done / wall, 1),
+        "achieved_rps_gen_window": round(done / gen_wall, 1) if done else 0.0,
+        "e2e_ms_p50": round(float(np.percentile(arr, 50)), 2) if done else None,
+        "e2e_ms_p99": round(float(np.percentile(arr, 99)), 2) if done else None,
+        "server": {
+            k: snap.get(k)
+            for k in ("batches", "requests", "rows_padded",
+                      "queue_latency_ms_p50", "queue_latency_ms_p99",
+                      "device_latency_ms_p50", "device_latency_ms_p99")
+        },
+    }
+
+
+def _time_artifact_cold_start(bundle: Path):
+    """fresh ArtifactEngine over an existing bundle -> first result."""
+    from automoe_tpu.serving.export import ArtifactEngine
+
+    t1 = time.perf_counter()
+    ae = ArtifactEngine(bundle)
+    h, w = ae.camera_hw
+    out = ae.infer_batch(np.zeros((1, h, w, 3), np.uint8), np.zeros((1,)))
+    np.asarray(next(iter(out.values())))
+    return round(time.perf_counter() - t1, 2)
+
+
 def cold_start(engine, tmp: Path):
     """save bundle -> fresh ArtifactEngine -> first result, timed."""
-    from automoe_tpu.serving.export import ArtifactEngine, save_serving_bundle
+    from automoe_tpu.serving.export import save_serving_bundle
 
     bundle = tmp / "bundle"
     t0 = time.perf_counter()
     save_serving_bundle(engine, bundle, buckets=(1, 8))
     t_save = time.perf_counter() - t0
-    h, w = engine.camera_hw
-    frame = np.zeros((1, h, w, 3), np.uint8)
-    t1 = time.perf_counter()
-    ae = ArtifactEngine(bundle)
-    out = ae.infer_batch(frame, np.zeros((1,)))
-    np.asarray(next(iter(out.values())))
-    t_cold = time.perf_counter() - t1
     return {"bundle_save_s": round(t_save, 2),
-            "cold_start_to_first_result_s": round(t_cold, 2)}
+            "cold_start_to_first_result_s": _time_artifact_cold_start(bundle)}
 
 
 def tunnel_probe(camera_hw=(600, 800)):
@@ -201,7 +282,22 @@ def main():
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--clients", default="1,8,32")
     p.add_argument("--engines", default="bf16,int8")
+    p.add_argument("--open-loop", default=None,
+                   help="comma list of aggregate arrival rates (rps), "
+                        "e.g. '12,24,48': replaces the closed-loop "
+                        "client cells with OPEN-LOOP arrivals (fleet "
+                        "front door — submits don't block on results). "
+                        "The regime where --pipeline-depth>=2 can pay")
     p.add_argument("--cold-start", action="store_true")
+    p.add_argument("--cold-start-only", action="store_true",
+                   help="skip the soak: build/save the bundle if "
+                        f"missing under --tmp, then time "
+                        "ArtifactEngine -> first result in THIS "
+                        "process. Run the script TWICE to split the "
+                        "cold start into compile (run 1, persistent "
+                        "compile cache cold) vs load (run 2, cache "
+                        "warm) — run 2 is what a serving-host restart "
+                        "pays")
     p.add_argument("--pipeline-depth", default="1",
                    help="comma list, e.g. '1,2': each (engine, clients) "
                         "cell runs once per depth BACK-TO-BACK so serial "
@@ -223,6 +319,20 @@ def main():
     dev = jax.devices()[0]
     done.set()
 
+    if args.cold_start_only:
+        bundle = Path(args.tmp) / "bundle"
+        rec = {"device": str(dev), "bundle": str(bundle),
+               "bundle_reused": (bundle / "meta.json").exists()}
+        if not rec["bundle_reused"]:
+            from automoe_tpu.serving.export import save_serving_bundle
+
+            t0 = time.perf_counter()
+            save_serving_bundle(build_engine("bf16"), bundle, buckets=(1, 8))
+            rec["bundle_save_s"] = round(time.perf_counter() - t0, 2)
+        rec["cold_start_to_first_result_s"] = _time_artifact_cold_start(bundle)
+        print(json.dumps(rec), flush=True)
+        return
+
     out = {"device": str(dev), "hz": HZ, "seconds": args.seconds,
            "tunnel": tunnel_probe()}
     print(json.dumps({"tunnel": out["tunnel"]}), flush=True)
@@ -230,12 +340,22 @@ def main():
         engine = build_engine(kind)
         cells = []
         depths = [int(d) for d in str(args.pipeline_depth).split(",")]
-        for n in (int(c) for c in args.clients.split(",")):
-            for depth in depths:
-                cell = soak(engine, n, args.seconds, pipeline_depth=depth)
-                cell["pipeline_depth"] = depth
-                cells.append(cell)
-                print(json.dumps({kind: cell}), flush=True)
+        if args.open_loop:
+            for rate in (float(r) for r in args.open_loop.split(",")):
+                for depth in depths:
+                    cell = open_loop_soak(
+                        engine, rate, args.seconds, pipeline_depth=depth
+                    )
+                    cell["pipeline_depth"] = depth
+                    cells.append(cell)
+                    print(json.dumps({kind: cell}), flush=True)
+        else:
+            for n in (int(c) for c in args.clients.split(",")):
+                for depth in depths:
+                    cell = soak(engine, n, args.seconds, pipeline_depth=depth)
+                    cell["pipeline_depth"] = depth
+                    cells.append(cell)
+                    print(json.dumps({kind: cell}), flush=True)
         out[kind] = cells
         if args.cold_start and kind == "bf16":
             out["cold_start_bf16"] = cold_start(engine, Path(args.tmp))

@@ -441,3 +441,23 @@ def test_pipelined_falls_back_without_dispatch(engine):
         out = srv.infer(_frames(1, seed=9)[0], 2.0)
     assert out["waypoints"].ndim == 2
     assert srv._fetcher is None
+
+
+def test_open_loop_soak_tool(engine):
+    """benchmarks/serving_soak_bench.open_loop_soak drives the real
+    BatchingServer with non-blocking arrivals: every submitted request
+    completes (or is reported as backlog), latencies are recorded via
+    completion callbacks, and the record's accounting is consistent."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from benchmarks.serving_soak_bench import open_loop_soak
+
+    rec = open_loop_soak(engine, rate_rps=40.0, seconds=1.0,
+                         max_batch=4, max_wait_ms=5.0, drain_s=20.0)
+    assert rec["submitted"] > 0
+    assert rec["completed"] + rec["backlog_at_drain_end"] == rec["submitted"]
+    assert rec["backlog_at_drain_end"] == 0  # tiny model drains in 20 s
+    assert rec["e2e_ms_p50"] is not None and rec["e2e_ms_p50"] > 0
+    assert rec["server"]["requests"] == rec["submitted"]
