@@ -104,6 +104,7 @@ class BatchingServer:
         # device step time, seconds; ring buffers so stats stay O(1)
         self._queue_lat = deque(maxlen=2048)
         self._device_lat = deque(maxlen=2048)
+        self._fetch_lat = deque(maxlen=2048)  # pipelined: D2H+resolve only
         self._lat_lock = threading.Lock()
 
     # -- lifecycle -------------------------------------------------------
@@ -131,10 +132,19 @@ class BatchingServer:
             self._worker.join(timeout=5)
             self._worker = None
         if self._fetcher is not None:
-            self._fly.put(None)  # sentinel
+            # bounded-queue sentinel: a full pipe + a slow D2H would make
+            # a plain put() block close() indefinitely — retry with a
+            # timeout and bail if the fetcher already died
+            while self._fetcher.is_alive():
+                try:
+                    self._fly.put(None, timeout=1.0)  # sentinel
+                    break
+                except queue.Full:
+                    continue
             self._fetcher.join(timeout=10)
+            # NEVER null out _fly: a fetcher that outlives the join
+            # timeout (stuck in a tunnel D2H) still references it
             self._fetcher = None
-            self._fly = None
         # resolve abandoned requests so callers blocked in .result() wake
         while True:
             try:
@@ -204,6 +214,11 @@ class BatchingServer:
             # this group short and pad it to its bucket, and every
             # padded slot costs a full frame of H2D bytes. Keep
             # absorbing arrivals into THIS group until a slot frees.
+            # (This is a deliberate 2 ms bounded poll, not a condition
+            # wait: the loop must wake on EITHER a new arrival (absorb it
+            # into this group) OR a freed pipeline slot, and a dual-wait
+            # needs machinery whose complexity isn't paid for by the
+            # ~500 idle wakeups/s this costs while the pipe is full.)
             if self._fly is not None:
                 while (len(group) < self.max_batch
                        and self._in_flight() >= self.pipeline_depth
@@ -231,29 +246,46 @@ class BatchingServer:
             speeds = np.concatenate([speeds, np.repeat(speeds[-1:], b - n)])
         return frames, speeds, n, b
 
-    def _record(self, group, n: int, b: int, t_formed: float, t_done: float):
+    def _record(self, group, n: int, b: int, t_formed: float, t_done: float,
+                fetch_s: Optional[float] = None):
         self.stats["requests"] += n
         self.stats["batches"] += 1
         self.stats["rows_padded"] += b - n
         self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"], n)
         with self._lat_lock:
             self._device_lat.append(t_done - t_formed)
+            if fetch_s is not None:
+                self._fetch_lat.append(fetch_s)
             for _, _, _, t_enq in group:
                 self._queue_lat.append(t_formed - t_enq)
 
+    @staticmethod
+    def _claim(group):
+        """Transition every future to RUNNING, dropping ones the caller
+        already cancelled (fut.cancel() while PENDING succeeds — the
+        standard client timeout pattern). After this, cancel() can no
+        longer win a race against set_result, so resolving a claimed
+        future cannot raise InvalidStateError and kill a worker thread."""
+        return [g for g in group if g[2].set_running_or_notify_cancel()]
+
     def _process(self, group):
+        group = self._claim(group)
+        if not group:
+            return
         t_formed = time.perf_counter()
         try:
             frames, speeds, n, b = self._form_arrays(group)
             out = self.engine.infer_batch(frames, speeds)
         except Exception as e:  # propagate to every caller
             for _, _, fut, _ in group:
-                fut.set_exception(e)
+                if not fut.done():
+                    fut.set_exception(e)
             return
         t_done = time.perf_counter()
         self._record(group, n, b, t_formed, t_done)
         for i, (_, _, fut, _) in enumerate(group):
-            fut.set_result({k: v[i] for k, v in out.items()})
+            if not fut.done():
+                fut.set_result({k: v[i] for k, v in out.items()})
 
     # -- pipelined worker (pipeline_depth >= 2) ----------------------------
     #
@@ -268,51 +300,71 @@ class BatchingServer:
             return self._inflight
 
     def _dispatch(self, group):
+        group = self._claim(group)
+        if not group:
+            return
         t_formed = time.perf_counter()
         try:
             frames, speeds, n, b = self._form_arrays(group)
             out, real_b = self.engine.dispatch_batch(frames, speeds)
         except Exception as e:
             for _, _, fut, _ in group:
-                fut.set_exception(e)
+                if not fut.done():
+                    fut.set_exception(e)
             return
         with self._inflight_lock:
             self._inflight += 1
         self._fly.put((group, out, real_b, n, b, t_formed))
 
     def _run_fetch(self):
+        fly = self._fly  # bind once: close() must never None this out
         while True:
-            item = self._fly.get()
+            item = fly.get()
             if item is None:  # close() sentinel, queue already drained
                 return
             group, out, real_b, n, b, t_formed = item
+            # the whole item is handled under try/finally: ANY exception
+            # (engine fetch, stats, a result dict surprise) fails that
+            # one batch instead of killing the fetch thread — a dead
+            # fetcher would strand _inflight high and deadlock the
+            # worker's backpressure loop for every future client.
             try:
+                t_fetch0 = time.perf_counter()
                 host = self.engine.fetch(out, real_b)
+                t_done = time.perf_counter()
+                self._record(group, n, b, t_formed, t_done,
+                             fetch_s=t_done - t_fetch0)
+                for i, (_, _, fut, _) in enumerate(group):
+                    if not fut.done():
+                        fut.set_result({k: v[i] for k, v in host.items()})
             except Exception as e:
                 for _, _, fut, _ in group:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
                 with self._inflight_lock:
                     self._inflight -= 1
-                continue
-            t_done = time.perf_counter()
-            self._record(group, n, b, t_formed, t_done)
-            for i, (_, _, fut, _) in enumerate(group):
-                fut.set_result({k: v[i] for k, v in host.items()})
-            with self._inflight_lock:
-                self._inflight -= 1
 
     def stats_snapshot(self) -> Dict:
         """Counters plus p50/p99 queue-wait and device-step latency (ms)
         over the last ≤2048 requests/batches — makes the max_wait_ms /
         bucket tradeoff measurable in deployment (the knob the
         reference's 20 Hz loop, inference/run_automoe.py:242-291, never
-        had)."""
+        had).
+
+        Pipelined mode (pipeline_depth >= 2): `device_latency` spans
+        dispatch → fetch-complete, which INCLUDES time the batch sat in
+        the in-flight queue behind earlier unfetched batches — it is the
+        pipeline residence time, not pure device time. The per-batch
+        `fetch_latency` (D2H + resolve only) is reported alongside for
+        the decomposition."""
         snap = dict(self.stats)
         with self._lat_lock:
             qlat = np.asarray(self._queue_lat, np.float64)
             dlat = np.asarray(self._device_lat, np.float64)
-        for name, arr in (("queue", qlat), ("device", dlat)):
+            flat = np.asarray(self._fetch_lat, np.float64)
+        for name, arr in (("queue", qlat), ("device", dlat),
+                          ("fetch", flat)):
             if arr.size:
                 snap[f"{name}_latency_ms_p50"] = float(
                     np.percentile(arr, 50) * 1e3

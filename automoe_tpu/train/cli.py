@@ -429,6 +429,13 @@ def cmd_gating(args):
                 "dataset shards already split N; composing that with the "
                 "resident reshuffle is untested)"
             )
+        if args.grad_accum > 1:
+            raise SystemExit(
+                "--device-resident doesn't compose with --grad-accum "
+                "(the resident loader pre-groups for steps_per_call; "
+                "accumulation is pointless on the ~7 KB/sample cached "
+                "working set — raise --batch-size instead)"
+            )
     if args.parallelism == "ep":
         from automoe_tpu.parallel.ep import ep_gating_workload
 
@@ -517,14 +524,19 @@ def cmd_gating(args):
 
         K = max(1, args.steps_per_call)
         dummy = {"image": np.zeros((args.batch_size, 4, 4, 3), np.float32)}
-        trainer.train_loader = DeviceEpochLoader.from_dataset(
+        # rebind (not assign): the resident loader trims N to a B*K
+        # multiple, so the LR schedule must be rebuilt for the actual
+        # batches-per-epoch (Trainer.rebind_train_loader does both).
+        trainer.rebind_train_loader(DeviceEpochLoader.from_dataset(
             train.dataset, batch_size=args.batch_size, group_size=K,
             mesh=trainer.mesh, shared=dummy, seed=args.seed,
-        )
-        trainer.val_loader = DeviceEpochLoader.from_dataset(
-            val.dataset, batch_size=args.batch_size, group_size=1,
-            mesh=trainer.mesh, shared=dummy, seed=args.seed, shuffle=False,
-        )
+        ))
+        # Validation stays on the HOST loader: DeviceEpochLoader would
+        # silently drop the trimmed tail samples (N -> N//B*B), making
+        # val loss — and the is-best checkpoint decision — incomparable
+        # with every non-resident run of the same split. The host val
+        # path keeps the repeat-padded tail + exact _real_count trim, and
+        # runs once per epoch, so its per-batch H2D is off the hot path.
     return trainer.fit(_args_dump(args))
 
 

@@ -556,16 +556,59 @@ class Trainer:
         self._log_epoch_summary(avg, n, t0)
         return avg
 
+    def rebind_train_loader(self, loader) -> None:
+        """Swap the training loader post-construction (the
+        --device-resident stage-in path: the resident loader is built
+        AFTER the feature-cache attach, which needs this Trainer's
+        restored/grafted state). When the new loader's length differs
+        (DeviceEpochLoader trims N to a batch*group multiple), the LR
+        schedule baked from the ORIGINAL loader's length would decay over
+        steps that never run — rebuild the optimizer with the actual
+        batches-per-epoch. Same trainable mask ⇒ same opt_state
+        structure, so the (possibly resumed) opt_state stays valid."""
+        def _bpe(n_batches: int) -> int:
+            bpe = max(1, n_batches)
+            if self.cfg.grad_accum > 1:
+                k = self.cfg.grad_accum
+                bpe = max(1, bpe // k + bpe % k)
+            return bpe
+
+        old_bpe = _bpe(len(self.train_loader))
+        self.train_loader = loader
+        bpe = _bpe(len(loader))
+        if bpe == old_bpe:
+            return
+        mask = (
+            self.wl.trainable_mask_fn(self.state.params)
+            if self.wl.trainable_mask_fn
+            else None
+        )
+        tx = make_optimizer(
+            learning_rate=self.cfg.learning_rate,
+            weight_decay=self.cfg.weight_decay,
+            total_steps=self.cfg.epochs * bpe,
+            grad_clip=self.cfg.grad_clip,
+            trainable_mask=mask,
+            optimizer=self.cfg.optimizer,
+            schedule=self.cfg.schedule,
+            steps_per_epoch=bpe,
+        )
+        self.state = self.state.replace(tx=tx)
+
     def _exact_tail_ok(self, real: int) -> bool:
         """True when the padded val tail can be trimmed to its real rows:
         single process (the count is per-process) and, under a mesh, a
-        count the 'data' axis still divides."""
+        count the batch-layout quantum still divides — the 'data' axis,
+        times pp_microbatches under pipeline parallelism (pipeline_apply
+        splits each data shard into M microbatches and rejects batches
+        that don't divide by data*M)."""
         if real <= 0 or jax.process_count() > 1:
             return False
         if self.mesh is None:
             return True
         data = dict(self.mesh.shape).get("data", 1)
-        return real % data == 0
+        quantum = data * max(1, self.cfg.pp_microbatches)
+        return real % quantum == 0
 
     def validate(self, epoch: int, *, use_ema: bool = False,
                  prefix: str = "val") -> float:

@@ -196,32 +196,17 @@ def _training_figures() -> dict:
     return out
 
 
-def _init_watchdog(timeout_s: float = 180.0):
-    """Fail fast if the TPU tunnel is wedged instead of hanging forever.
+def _init_watchdog():
+    """Fail fast if the TPU tunnel is wedged instead of hanging forever
+    (shared helper: benchmarks/watchdog.py). The driver contract says
+    bench.py ALWAYS prints one metric JSON line — the payload below is
+    that line's skeleton for the wedged case."""
+    from benchmarks.watchdog import init_watchdog
 
-    A healthy backend answers jax.devices() in seconds; a wedged axon
-    relay (e.g. after a mid-compile kill, CLAUDE.md landmine 4) blocks
-    it indefinitely — measured 4+ hours on 2026-08-18 — and a silently
-    hung bench is worse than a loud error. The watchdog covers ONLY
-    backend init (compiles may legitimately take 10+ min and are not
-    bounded here)."""
-    import os
-    import threading
-
-    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", timeout_s))
-    fired = threading.Timer(timeout_s, lambda: (
-        print(json.dumps({
-            "metric": "automoe_e2e_preprocess_forward_throughput",
-            "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
-            "error": f"TPU backend init exceeded {timeout_s:.0f}s — "
-                     "tunnel wedged; no measurement taken",
-        }), flush=True),  # os._exit skips stdio flush; don't lose the line
-        os._exit(3),
-    ))
-    fired.daemon = True
-    fired.start()
-    jax.devices()  # blocks here iff the tunnel is dead
-    fired.cancel()
+    init_watchdog({
+        "metric": "automoe_e2e_preprocess_forward_throughput",
+        "value": 0.0, "unit": "frames/sec/chip", "vs_baseline": 0.0,
+    }, exit_code=3)
 
 
 def main():

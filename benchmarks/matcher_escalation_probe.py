@@ -84,11 +84,15 @@ def check_exact(name, logits, boxes, tb, tl, **kw):
 
 
 def chain_time_ms(logits, boxes, tb, tl, k_lo=4, k_hi=16, reps=4, **kw):
-    """Per-call matcher time by scan differencing (carry perturbs logits)."""
-    tb_j, tl_j = jnp.asarray(tb), jnp.asarray(tl)
+    """Per-call matcher time by scan differencing (carry perturbs logits).
+
+    Targets are threaded as jit ARGUMENTS — closing a jitted fn over jnp
+    device arrays poisons every later dispatch in the session to ~26 ms
+    (CLAUDE.md landmine 1), which would skew every cell timed after the
+    first in this very sweep."""
 
     @functools.partial(jax.jit, static_argnames="K")
-    def chained(logits, boxes, K):
+    def chained(logits, boxes, tb_j, tl_j, K):
         def body(carry, _):
             l = logits + carry * 1e-7
             qi, valid = auction_match_pallas(
@@ -99,20 +103,18 @@ def chain_time_ms(logits, boxes, tb, tl, k_lo=4, k_hi=16, reps=4, **kw):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
         return out
 
-    chained_lo = lambda l, b: chained(l, b, K=k_lo)
-    chained_hi = lambda l, b: chained(l, b, K=k_hi)
-    l_j, b_j = jnp.asarray(logits), jnp.asarray(boxes)
+    args = tuple(jnp.asarray(x) for x in (logits, boxes, tb, tl))
 
-    def timed(fn):
-        np.asarray(fn(l_j, b_j))  # warm/compile
+    def timed(K):
+        np.asarray(chained(*args, K=K))  # warm/compile
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(fn(l_j, b_j))
+            np.asarray(chained(*args, K=K))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_lo, t_hi = timed(chained_lo), timed(chained_hi)
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
     return (t_hi - t_lo) / (k_hi - k_lo) * 1e3
 
 

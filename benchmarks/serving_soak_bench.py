@@ -42,19 +42,6 @@ import numpy as np
 HZ = 20.0  # the reference's control-loop rate
 
 
-def _init_watchdog(timeout_s: float):
-    done = threading.Event()
-
-    def boom():
-        if not done.wait(timeout_s):
-            print(json.dumps({"error": f"backend init > {timeout_s}s "
-                              "(tunnel wedged?)"}), flush=True)
-            os._exit(17)
-
-    threading.Thread(target=boom, daemon=True).start()
-    return done
-
-
 def build_engine(kind: str, camera_hw=(600, 800)):
     import jax.numpy as jnp
 
@@ -310,14 +297,12 @@ def main():
     p.add_argument("--tmp", default="/tmp/serving_soak")
     args = p.parse_args()
 
-    done = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", 180)))
-    import jax
+    from benchmarks.watchdog import init_watchdog
 
+    dev = init_watchdog()[0]  # backend init under the wedge timer
     from automoe_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    dev = jax.devices()[0]
-    done.set()
 
     if args.cold_start_only:
         bundle = Path(args.tmp) / "bundle"

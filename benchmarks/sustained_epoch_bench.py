@@ -39,29 +39,12 @@ import argparse
 import json
 import os
 import sys
-import threading
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
-
-
-def _init_watchdog(timeout_s: float):
-    """Exit loudly if backend init wedges (dead tunnel) instead of
-    hanging forever — same policy as bench.py."""
-    done = threading.Event()
-
-    def boom():
-        if not done.wait(timeout_s):
-            print(json.dumps({"error": f"backend init > {timeout_s}s "
-                              "(tunnel wedged?)"}), flush=True)
-            os._exit(17)
-
-    t = threading.Thread(target=boom, daemon=True)
-    t.start()
-    return done
 
 
 SMOKE = False  # --smoke: tiny shapes for a CPU plumbing check
@@ -238,14 +221,12 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    done = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", 180)))
-    import jax
+    from benchmarks.watchdog import init_watchdog
 
+    dev = init_watchdog()[0]  # backend init under the wedge timer
     from automoe_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    dev = jax.devices()[0]
-    done.set()
 
     names = (["detection", "gating-cached"] if args.pipeline == "both"
              else [args.pipeline])

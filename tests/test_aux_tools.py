@@ -122,3 +122,18 @@ def test_step_timer():
     s = t.stats()
     assert s["step_ms_p50"] >= 1.5
     assert s["steps_per_sec"] > 0
+
+
+def test_shared_bench_watchdog_healthy_path():
+    """benchmarks/watchdog.init_watchdog (the shared backend-init wedge
+    guard) returns the device list and cancels its timer on a healthy
+    backend — the import path bench.py/the soak/sustained benches rely
+    on."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from benchmarks.watchdog import init_watchdog
+
+    devs = init_watchdog(timeout_s=120)
+    assert len(devs) >= 1

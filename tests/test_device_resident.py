@@ -224,3 +224,50 @@ def test_from_dataset_too_small_raises():
         DeviceEpochLoader.from_dataset(
             _MapDS(n=3), batch_size=4, group_size=2, verbose=False
         )
+
+
+def test_rebind_train_loader_rebuilds_schedule(tmp_path):
+    """Regression (r4 review): --device-resident swapped train_loader
+    AFTER Trainer.__init__ baked the LR-schedule length from the host
+    loader, so a trimmed resident loader ran fewer steps than the cosine
+    decay spanned. rebind_train_loader must rebuild the optimizer when
+    batches-per-epoch changes (and leave it alone when it doesn't)."""
+    arr = _seg_arrays(16)
+    B = 4
+    host_batches = [
+        {k: v[i * B:(i + 1) * B] for k, v in arr.items()} for i in range(4)
+    ]
+    wl = bdd_expert_workload("drivable", image_size=32)
+    tr = Trainer(
+        wl, _ListLoader(host_batches), _ListLoader(host_batches[:1]),
+        _cfg(tmp_path, schedule="cosine"),
+    )
+    old_tx = tr.state.tx
+    # same length (4 batches): no rebuild
+    same = DeviceEpochLoader(arr, batch_size=B, shuffle=False)
+    tr.rebind_train_loader(same)
+    assert tr.train_loader is same
+    assert tr.state.tx is old_tx
+    # trimmed length (3 batches of 12 samples): schedule rebuilt
+    shorter = DeviceEpochLoader(
+        {k: v[:12] for k, v in arr.items()}, batch_size=B, shuffle=False)
+    tr.rebind_train_loader(shorter)
+    assert tr.train_loader is shorter
+    assert tr.state.tx is not old_tx
+    tr.fit()  # the rebuilt optimizer trains (opt_state structure intact)
+
+
+def test_cli_device_resident_rejects_grad_accum(tmp_path, monkeypatch):
+    """--device-resident + --grad-accum used to crash mid-run with an
+    unrelated error AFTER staging the dataset; it must be rejected up
+    front."""
+    import pytest
+
+    from automoe_tpu.train import cli
+
+    with pytest.raises(SystemExit, match="grad-accum"):
+        cli.main([
+            "gating", "--data-root", str(tmp_path), "--epochs", "1",
+            "--cache-expert-features", "--device-resident",
+            "--grad-accum", "2", "--no-mesh",
+        ])

@@ -187,3 +187,26 @@ def test_pp_nonfinite_at_zero_block():
     assert np.isfinite(np.asarray(y)).all()
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_exact_tail_quantum_includes_pp_microbatches():
+    """Regression (r4 review): Trainer.validate trims the padded val
+    tail to its real rows when 'the layout still divides' — under
+    pipeline parallelism the quantum is data_axis * pp_microbatches
+    (pipeline_apply rejects batches that don't divide by it), not the
+    data axis alone. A real==6 tail on a data=2 / microbatches=2 run
+    used to pass the check, trace the trimmed batch, and die in
+    pipeline_apply's ValueError at the end of epoch 1."""
+    from automoe_tpu.train.loop import TrainConfig, Trainer
+
+    mesh = make_mesh(MeshSpec(data=2, model=4))
+    t = object.__new__(Trainer)  # _exact_tail_ok needs only mesh + cfg
+    t.mesh = mesh
+    t.cfg = TrainConfig(pp_microbatches=2)
+    assert not t._exact_tail_ok(6)   # 6 % (2*2) != 0 -> must NOT trim
+    assert t._exact_tail_ok(8)
+    assert not t._exact_tail_ok(0)
+    t.cfg = TrainConfig()            # no PP: the data-axis rule alone
+    assert t._exact_tail_ok(6)
+    t.mesh = None
+    assert t._exact_tail_ok(5)

@@ -2,6 +2,7 @@
 semantics, result-row fidelity vs direct engine calls, and the TCP
 protocol round trip. Runs a tiny AutoMoE on the CPU backend."""
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -461,3 +462,101 @@ def test_open_loop_soak_tool(engine):
     assert rec["backlog_at_drain_end"] == 0  # tiny model drains in 20 s
     assert rec["e2e_ms_p50"] is not None and rec["e2e_ms_p50"] > 0
     assert rec["server"]["requests"] == rec["submitted"]
+
+
+def test_cancelled_future_serial_worker_survives(engine):
+    """A client that times out and cancels its PENDING future (the
+    standard concurrent.futures pattern) must not poison the worker:
+    the group claim (set_running_or_notify_cancel) drops cancelled
+    requests before the engine call, and later requests still serve."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    gate = threading.Event()
+    gate.set()
+
+    class Gated:
+        def __init__(self, inner):
+            self._inner = inner
+            self.camera_hw = inner.camera_hw
+
+        def infer_batch(self, f, s):
+            gate.wait(timeout=60)
+            return self._inner.infer_batch(f, s)
+
+    frame = _frames(1, seed=11)[0]
+    srv = BatchingServer(Gated(engine), max_batch=1, max_wait_ms=2).start()
+    try:
+        gate.clear()  # next engine call blocks
+        fut_a = srv.submit(frame, 1.0)   # worker picks this up and blocks
+        time.sleep(0.1)
+        fut_b = srv.submit(frame, 2.0)   # stays PENDING in the queue
+        assert fut_b.cancel()            # client timeout path
+        gate.set()
+        assert np.isfinite(fut_a.result(timeout=60)["waypoints"]).all()
+        with pytest.raises(Exception):   # CancelledError
+            fut_b.result(timeout=1)
+        # the worker must still be alive and serving
+        out = srv.submit(frame, 3.0).result(timeout=60)
+        assert np.isfinite(out["waypoints"]).all()
+    finally:
+        gate.set()
+        srv.close()
+
+
+def test_cancelled_future_pipelined_fetcher_survives(engine):
+    """Same client-cancel pattern in pipelined mode: before the fix, a
+    cancelled future reaching the fetch thread's set_result raised
+    InvalidStateError, killed the fetcher, stranded _inflight high, and
+    deadlocked the worker's backpressure loop for every later client."""
+    from automoe_tpu.serving.server import BatchingServer
+
+    gate = threading.Event()
+    gate.set()
+
+    class GatedFetch:
+        def __init__(self, inner):
+            self._inner = inner
+            self.camera_hw = inner.camera_hw
+
+        def infer_batch(self, f, s):
+            return self._inner.infer_batch(f, s)
+
+        def dispatch_batch(self, f, s):
+            return self._inner.dispatch_batch(f, s)
+
+        def fetch(self, out, real_b):
+            gate.wait(timeout=60)
+            return self._inner.fetch(out, real_b)
+
+    frame = _frames(1, seed=12)[0]
+    srv = BatchingServer(GatedFetch(engine), max_batch=1, max_wait_ms=2,
+                         pipeline_depth=2).start()
+    try:
+        assert srv._fetcher is not None
+        gate.clear()
+        fut_a = srv.submit(frame, 1.0)
+        fut_b = srv.submit(frame, 2.0)
+        deadline = time.time() + 30
+        while srv._in_flight() < 2 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv._in_flight() == 2  # pipe full, fetch blocked
+        fut_c = srv.submit(frame, 3.0)  # PENDING behind the full pipe
+        assert fut_c.cancel()
+        gate.set()
+        assert np.isfinite(fut_a.result(timeout=60)["waypoints"]).all()
+        assert np.isfinite(fut_b.result(timeout=60)["waypoints"]).all()
+        with pytest.raises(Exception):
+            fut_c.result(timeout=5)
+        # fetcher alive, inflight drained, later requests serve
+        out = srv.submit(frame, 4.0).result(timeout=60)
+        assert np.isfinite(out["waypoints"]).all()
+        deadline = time.time() + 10
+        while srv._in_flight() > 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert srv._in_flight() == 0
+        assert srv._fetcher.is_alive()
+        snap = srv.stats_snapshot()
+        assert snap["fetch_latency_ms_p50"] is not None
+    finally:
+        gate.set()
+        srv.close()
