@@ -171,12 +171,19 @@ def _training_figures() -> dict:
     step (frozen-expert feature cache, the production T7 configuration).
     Each uses the serialized-chain differencing methodology of its source
     bench. Failures degrade to an error marker instead of killing the
-    headline metric."""
+    headline metric. BENCH_SKIP_TRAIN=1 skips both (fast-path escape for
+    time-boxed callers — cold-compile of the detection step is minutes;
+    NEVER timeout-kill this script instead, a mid-compile kill wedges the
+    tunnel relay for hours: CLAUDE.md landmine 4, outages #1-#3)."""
+    import os
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     out = {}
+    if os.environ.get("BENCH_SKIP_TRAIN") == "1":
+        out["train_figures_skipped"] = "BENCH_SKIP_TRAIN=1"
+        return out
     try:
         from benchmarks.train_step_bench import run as det_run
 
@@ -210,6 +217,7 @@ def _init_watchdog():
 
 
 def main():
+    t_start = time.perf_counter()
     _init_watchdog()
     enable_compile_cache()
     B = 128
@@ -245,6 +253,7 @@ def main():
             **_training_figures(),
         },
     }
+    result["extra"]["bench_wall_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(result))
 
 
