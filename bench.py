@@ -181,9 +181,14 @@ def _training_figures() -> dict:
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     out = {}
-    if os.environ.get("BENCH_SKIP_TRAIN") == "1":
-        out["train_figures_skipped"] = "BENCH_SKIP_TRAIN=1"
+    skip_env = os.environ.get("BENCH_SKIP_TRAIN", "").strip().lower()
+    if skip_env in ("1", "true", "yes", "on"):
+        out["train_figures_skipped"] = f"BENCH_SKIP_TRAIN={skip_env}"
         return out
+    if skip_env and skip_env not in ("0", "false", "no", "off"):
+        print(f"[bench] WARNING: unrecognized BENCH_SKIP_TRAIN={skip_env!r}; "
+              "running train figures (use 1/true/yes to skip)",
+              file=sys.stderr)
     try:
         from benchmarks.train_step_bench import run as det_run
 
