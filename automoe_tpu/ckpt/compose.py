@@ -56,7 +56,20 @@ def load_expert_checkpoints(
                 "params": params[f"expert_{i}"],
                 "batch_stats": stats.get(f"expert_{i}", {}),
             }
-            loaded = load_variables(str(p), template)
+            try:
+                loaded = load_variables(str(p), template)
+            except Exception:
+                if ecfg.type != "nuscenes":
+                    raise
+                # The CARLA fine-tune writes NuScenesImage2DHead trees
+                # (module names mlp_fc*/box_head — the reference wrapper's
+                # state-dict layout); the composite's NuScenesExpert names
+                # the same tensors decoder_fc*/bbox_head. Mirror the
+                # reference's load-time remap (automoe.py:250-262
+                # mlp.->decoder., box_head.->bbox_head.) for orbax
+                # sources: restore under the 2D head's names, graft back
+                # under the expert's.
+                loaded = _restore_nuscenes_2d(str(p), template)
         params[f"expert_{i}"] = loaded["params"]
         if loaded.get("batch_stats"):
             stats[f"expert_{i}"] = loaded["batch_stats"]
@@ -65,3 +78,40 @@ def load_expert_checkpoints(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+_NUSCENES_2D_RENAME = {
+    "decoder_fc1": "mlp_fc1",
+    "decoder_fc2": "mlp_fc2",
+    "bbox_head": "box_head",
+}
+
+
+def _restore_nuscenes_2d(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a `carla_nuscenes_2d` workload checkpoint into a
+    NuScenesExpert-shaped template (gating --expert-ckpts handoff: the
+    4th expert checkpoint comes from the image-only 2D fine-tune,
+    train_gating_network.sh's EXPERT_CHECKPOINTS[3])."""
+    from automoe_tpu.ckpt.checkpoint import load_variables
+
+    t2 = {
+        "params": {
+            _NUSCENES_2D_RENAME.get(k, k): v
+            for k, v in template["params"].items()
+        },
+        "batch_stats": {
+            _NUSCENES_2D_RENAME.get(k, k): v
+            for k, v in template.get("batch_stats", {}).items()
+        },
+    }
+    inv = {v: k for k, v in _NUSCENES_2D_RENAME.items()}
+    loaded = load_variables(path, t2)
+    return {
+        "params": {
+            inv.get(k, k): v for k, v in loaded["params"].items()
+        },
+        "batch_stats": {
+            inv.get(k, k): v
+            for k, v in loaded.get("batch_stats", {}).items()
+        },
+    }

@@ -59,6 +59,16 @@ def _add_common(p: argparse.ArgumentParser):
                    help="with --save-freq: retain only the newest K "
                         "periodic epoch_N checkpoints (best/last/step "
                         "are never GC'd); 0 keeps all")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start params+batch_stats from another run's "
+                        "orbax checkpoint dir (e.g. a BDD expert 'best' "
+                        "feeding the CARLA fine-tune) before training; "
+                        "optimizer state starts fresh. Unlike --resume, "
+                        "the source is any run of the SAME model shape. "
+                        "The reference fine-tune inits from ImageNet only "
+                        "(train_carla_bdd_experts_ddp.py:196 "
+                        "pretrained_backbone=True) — this is the "
+                        "checkpoint-chain upgrade, off by default")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--box-cap", type=int, default=48)
@@ -104,6 +114,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "stack's activations (~1 extra fwd of FLOPs for "
                         "stack-sized activation HBM); for batches/"
                         "resolutions that don't fit otherwise")
+    p.add_argument("--augment", action="store_true",
+                   help="fused on-device augmentation in the train step "
+                        "(random resized crop + hflip + color jitter, "
+                        "box/mask-consistent label geometry, step-RNG "
+                        "keyed — ops/augment.py); expert pipelines only; "
+                        "OFF by default (the reference has none)")
     p.add_argument("--qat", action="store_true",
                    help="quantization-aware training: fake-quantize "
                         "backbone conv weights (per-channel int8) and "
@@ -228,6 +244,29 @@ def _train_cfg(args, pipeline: str = "") -> TrainConfig:
     )
 
 
+def _graft_init_from(trainer, args):
+    """--init-from: seed params+batch_stats from another run's checkpoint.
+
+    Like the gating CLI's --expert-ckpts graft, this seeds FRESH state
+    only — when a --resume actually restored a checkpoint of THIS run,
+    re-grafting the warm-start source would roll trained weights back on
+    every supervisor relaunch."""
+    path = getattr(args, "init_from", None)
+    if path and not trainer.resumed:
+        from automoe_tpu.ckpt.checkpoint import load_variables
+
+        variables = load_variables(path, {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        })
+        trainer.state = trainer.state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        print(f"[cli] warm-started params+batch_stats from {path}")
+    return trainer
+
+
 def _loaders(factory, args, **kw):
     # Within one host the mesh shards each global batch at device_put; across
     # hosts each process reads its own slice (the DistributedSampler role).
@@ -263,10 +302,14 @@ def cmd_bdd(args):
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
         matcher=args.matcher, remat=args.remat, qat=args.qat,
+        augment=args.augment,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
-    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+    trainer = _graft_init_from(
+        Trainer(wl, train, val, _train_cfg(args), mesh=mesh), args
+    )
+    return trainer.fit(_args_dump(args))
 
 
 def cmd_finetune_carla(args):
@@ -286,10 +329,14 @@ def cmd_finetune_carla(args):
         args.task, image_size=args.image_size, box_cap=args.box_cap,
         bbox_loss_weight=args.bbox_loss_weight, dtype=_dtype(args),
         matcher=args.matcher, remat=args.remat, qat=args.qat,
+        augment=args.augment,
     )
     mesh = _mesh(args)
     train, val = _loaders(factory, args, **kw)
-    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+    trainer = _graft_init_from(
+        Trainer(wl, train, val, _train_cfg(args), mesh=mesh), args
+    )
+    return trainer.fit(_args_dump(args))
 
 
 def cmd_nuscenes(args):
@@ -314,7 +361,10 @@ def cmd_nuscenes(args):
     train, val = _loaders(
         get_nuscenes_loader, args, lidar_cap=args.lidar_cap, box_cap=args.box_cap
     )
-    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+    trainer = _graft_init_from(
+        Trainer(wl, train, val, _train_cfg(args), mesh=mesh), args
+    )
+    return trainer.fit(_args_dump(args))
 
 
 def cmd_nuscenes_2d(args):
@@ -324,10 +374,14 @@ def cmd_nuscenes_2d(args):
         num_queries=args.num_queries, image_size=args.image_size,
         box_cap=args.box_cap, bbox_loss_weight=args.bbox_loss_weight,
         dtype=_dtype(args), remat=args.remat, qat=args.qat,
+        augment=args.augment,
     )
     mesh = _mesh(args)
     train, val = _loaders(get_carla_detection_loader, args, box_cap=args.box_cap)
-    return Trainer(wl, train, val, _train_cfg(args), mesh=mesh).fit(_args_dump(args))
+    trainer = _graft_init_from(
+        Trainer(wl, train, val, _train_cfg(args), mesh=mesh), args
+    )
+    return trainer.fit(_args_dump(args))
 
 
 def cmd_policy(args):
@@ -372,7 +426,10 @@ def cmd_policy(args):
         print({k: tuple(v.shape) for k, v in out.items()})
         return {"dry_run": True}
     train, val = _loaders(get_carla_sequence_loader, args, horizon=args.horizon)
-    return Trainer(wl, train, val, _train_cfg(args, "policy"), mesh=mesh).fit(_args_dump(args))
+    trainer = _graft_init_from(
+        Trainer(wl, train, val, _train_cfg(args, "policy"), mesh=mesh), args
+    )
+    return trainer.fit(_args_dump(args))
 
 
 def cmd_gating(args):
@@ -423,11 +480,11 @@ def cmd_gating(args):
                 "--device-resident requires --cache-expert-features (raw "
                 "frames don't fit HBM; the cached working set does)"
             )
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and args.no_mesh:
             raise SystemExit(
-                "--device-resident is single-host for now (per-process "
-                "dataset shards already split N; composing that with the "
-                "resident reshuffle is untested)"
+                "--device-resident across hosts needs the device mesh "
+                "(the resident epoch is a global array assembled from "
+                "per-process shards); drop --no-mesh"
             )
         if args.grad_accum > 1:
             raise SystemExit(
@@ -524,12 +581,24 @@ def cmd_gating(args):
 
         K = max(1, args.steps_per_call)
         dummy = {"image": np.zeros((args.batch_size, 4, 4, 3), np.float32)}
+        # Multi-host (r5, VERDICT r4 item 5): each process stages only
+        # ITS static shard of the dataset (the ShardedSampler slice
+        # rule); the loader assembles the shards into one global
+        # HBM-resident epoch and reshuffles it with a cluster-identical
+        # permutation. Equivalence pinned by
+        # tests/test_multihost.py::test_two_process_device_resident_gating.
+        indices = None
+        if jax.process_count() > 1:
+            indices = range(
+                jax.process_index(), len(train.dataset), jax.process_count()
+            )
         # rebind (not assign): the resident loader trims N to a B*K
         # multiple, so the LR schedule must be rebuilt for the actual
         # batches-per-epoch (Trainer.rebind_train_loader does both).
         trainer.rebind_train_loader(DeviceEpochLoader.from_dataset(
             train.dataset, batch_size=args.batch_size, group_size=K,
             mesh=trainer.mesh, shared=dummy, seed=args.seed,
+            indices=indices,
         ))
         # Validation stays on the HOST loader: DeviceEpochLoader would
         # silently drop the trimmed tail samples (N -> N//B*B), making

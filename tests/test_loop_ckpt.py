@@ -567,3 +567,123 @@ def test_keep_epochs_gc(tmp_path):
     kept = sorted(p.name for p in d.glob("epoch_*"))
     assert kept == ["epoch_4", "epoch_5"]
     assert (d / "best").exists() and (d / "last").exists()
+
+
+def test_nuscenes_2d_checkpoint_into_gating_expert(tmp_path, rng):
+    """The CARLA fine-tune's NuScenesImage2DHead checkpoint grafts into
+    the composite's NuScenesExpert slot via the module-name remap
+    (mlp_fc*->decoder_fc*, box_head->bbox_head — the orbax mirror of the
+    reference's load-time remap, automoe.py:250-262). This is the 4th
+    expert handoff of train_gating_network.sh:27-33."""
+    from automoe_tpu.ckpt.compose import load_expert_checkpoints
+    from automoe_tpu.configs import load_model_config
+    from automoe_tpu.models import create_automoe_model
+    from automoe_tpu.train.workloads import carla_nuscenes_2d_workload
+    from automoe_tpu.utils import jit_init
+
+    class Det:
+        def __init__(self, n=8):
+            self.samples = [
+                {
+                    "image": rng.normal(size=(32, 32, 3)).astype(np.float32),
+                    "bboxes": np.array([[2, 2, 20, 20]], np.float32),
+                    "labels": np.array([1], np.int32),
+                }
+                for _ in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    wl = carla_nuscenes_2d_workload(num_queries=8, image_size=32, box_cap=4)
+    train = DataLoader(Det(), batch_size=4, num_workers=1, shuffle=True)
+    val = DataLoader(Det(4), batch_size=4, num_workers=1, shuffle=False)
+    cfg = TrainConfig(
+        epochs=1, run_name="n2d", ckpt_root=str(tmp_path / "ckpt"),
+        runs_root=str(tmp_path / "runs"), log_every=1,
+    )
+    tr = Trainer(wl, train, val, cfg)
+    tr.fit()
+    ckpt = tmp_path / "ckpt" / "carla_nuscenes_2d" / "n2d" / "best"
+    assert ckpt.exists()
+
+    mcfg = load_model_config({
+        "experts": [
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    })
+    model = create_automoe_model(mcfg)
+    import jax.numpy as jnp
+
+    batch = {
+        "image": jnp.zeros((1, 32, 32, 3), jnp.float32),
+        "speed": jnp.zeros((1, 1), jnp.float32),
+        "steering": jnp.zeros((1, 1), jnp.float32),
+        "throttle": jnp.zeros((1, 1), jnp.float32),
+        "brake": jnp.zeros((1, 1), jnp.float32),
+    }
+    variables = jit_init(model, jax.random.key(0), batch)
+    loaded = load_expert_checkpoints(variables, mcfg, [str(ckpt)])
+    exp = loaded["params"]["expert_0"]
+    trained = tr.state.params
+    # every remapped module carries the TRAINED weights
+    np.testing.assert_allclose(
+        np.asarray(exp["decoder_fc1"]["kernel"]),
+        np.asarray(trained["mlp_fc1"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(exp["bbox_head"]["kernel"]),
+        np.asarray(trained["box_head"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(exp["class_head"]["kernel"]),
+        np.asarray(trained["class_head"]["kernel"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(exp["query_embed"]),
+        np.asarray(trained["query_embed"]),
+    )
+    # trained BN stats ride along
+    np.testing.assert_allclose(
+        np.asarray(
+            jax.tree.leaves(loaded["batch_stats"]["expert_0"])[0]
+        ),
+        np.asarray(jax.tree.leaves(tr.state.batch_stats)[0]),
+    )
+
+
+def test_init_from_warm_start(tmp_path):
+    """--init-from grafts another run's params+batch_stats into a fresh
+    trainer (the experts->finetune checkpoint chain, tools/campaign.py);
+    a resumed trainer is NOT re-grafted."""
+    from types import SimpleNamespace
+
+    from automoe_tpu.train.cli import _graft_init_from
+
+    tr = _make_trainer(tmp_path, epochs=1)
+    tr.fit()
+    ckpt = str(tmp_path / "ckpt" / "bdd_drivable" / "t" / "best")
+
+    fresh = _make_trainer(tmp_path / "second", epochs=1)
+    before = np.asarray(jax.tree.leaves(fresh.state.params)[0]).copy()
+    _graft_init_from(fresh, SimpleNamespace(init_from=ckpt))
+    after = jax.tree.leaves(fresh.state.params)[0]
+    trained = jax.tree.leaves(tr.state.params)[0]
+    np.testing.assert_allclose(np.asarray(after), np.asarray(trained))
+    assert not np.allclose(before, np.asarray(after))
+
+    # resumed trainer keeps its restored weights (no re-graft)
+    resumed = _make_trainer(tmp_path, epochs=2, resume="full")
+    assert resumed.resumed
+    w0 = np.asarray(jax.tree.leaves(resumed.state.params)[0]).copy()
+    _graft_init_from(resumed, SimpleNamespace(init_from=ckpt))
+    np.testing.assert_array_equal(
+        w0, np.asarray(jax.tree.leaves(resumed.state.params)[0])
+    )
