@@ -55,11 +55,16 @@ def normalize_weather(weather: dict) -> np.ndarray:
     )
 
 
-def preprocess_image(path: Path, out_size: int = OUT_SIZE) -> np.ndarray:
+def preprocess_image(path: Path, out_size: int = None) -> np.ndarray:
     """→ normalized CHW float32 [3,out_size,out_size]. Shared by the CARLA
-    and nuScenes caches — one place for resize/normalize semantics."""
+    and nuScenes caches — one place for resize/normalize semantics.
+    out_size=None reads the module's OUT_SIZE at CALL time (a def-time
+    default would freeze 256 while the mask/bbox paths honor a patched
+    OUT_SIZE — found by the campaign smoke run: 256² images with 64²
+    masks)."""
     from PIL import Image
 
+    out_size = out_size or OUT_SIZE
     with Image.open(path) as im:
         im = im.convert("RGB").resize((out_size, out_size), Image.BILINEAR)
     arr = np.asarray(im, np.float32) / 255.0
