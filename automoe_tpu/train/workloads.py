@@ -115,6 +115,7 @@ def bdd_expert_workload(
     dtype=jnp.float32,
     remat: bool = False,
     qat: bool = False,
+    augment: bool = False,
 ) -> Workload:
     """BDD100K expert training (reference train_bdd100k_ddp.py) and its
     CARLA fine-tune variant (train_carla_bdd_experts_ddp.py) — the same
@@ -124,10 +125,23 @@ def bdd_expert_workload(
     ResNet18Backbone): the backward recomputes one block at a time
     instead of holding the whole stack's activations — the TPU HBM/FLOPs
     trade for batches/resolutions that don't otherwise fit. Same param
-    tree, same math (tests/test_remat.py)."""
+    tree, same math (tests/test_remat.py).
+
+    augment=True fuses on-device crop/flip/color-jitter (with
+    box/mask-consistent label geometry) into the TRAIN step's jit, keyed
+    by the step RNG; validation is never augmented. OFF by default —
+    the reference has no augmentation (ops/augment.py docstring)."""
     defaults = {"detection": 10, "segmentation": 19, "drivable": 3}
     C = num_classes if num_classes is not None else defaults[task]
     matcher = matcher or default_matcher()
+    if augment:
+        from automoe_tpu.ops.augment import (
+            AugmentConfig,
+            augment_detection,
+            augment_segmentation,
+        )
+
+        aug_cfg = AugmentConfig()
 
     if task == "detection":
         model = BDDDetectionExpert(
@@ -135,6 +149,10 @@ def bdd_expert_workload(
         )
 
         def loss_fn(params, batch_stats, batch, rng, train):
+            if augment and train:
+                batch = augment_detection(
+                    batch, jax.random.fold_in(rng, 0x41554721), aug_cfg
+                )
             out, new_stats = _apply(
                 model, params, batch_stats, (batch["image"],), rng, train
             )
@@ -185,6 +203,10 @@ def bdd_expert_workload(
         )
 
         def loss_fn(params, batch_stats, batch, rng, train):
+            if augment and train:
+                batch = augment_segmentation(
+                    batch, jax.random.fold_in(rng, 0x41554721), aug_cfg
+                )
             logits, new_stats = _apply(
                 model, params, batch_stats, (batch["image"],), rng, train
             )
@@ -290,6 +312,7 @@ def carla_nuscenes_2d_workload(
     dtype=jnp.float32,
     remat: bool = False,
     qat: bool = False,
+    augment: bool = False,
 ) -> Workload:
     from automoe_tpu.models.experts import NuScenesImage2DHead
     from automoe_tpu.losses.detection import scatter_matched_targets
@@ -301,8 +324,16 @@ def carla_nuscenes_2d_workload(
         num_queries=num_queries, num_classes=num_classes, dtype=dtype,
         remat=remat, qat=qat,
     )
+    if augment:
+        from automoe_tpu.ops.augment import AugmentConfig, augment_detection
+
+        aug_cfg = AugmentConfig()
 
     def loss_fn(params, batch_stats, batch, rng, train):
+        if augment and train:
+            batch = augment_detection(
+                batch, jax.random.fold_in(rng, 0x41554721), aug_cfg
+            )
         out, new_stats = _apply(
             model, params, batch_stats, (batch["image"],), rng, train
         )
