@@ -35,7 +35,7 @@ the cached-gating model still requires structurally — models/automoe.py
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -75,13 +75,32 @@ class DeviceEpochLoader:
     ):
         if not arrays:
             raise ValueError("arrays must be non-empty")
-        n = len(next(iter(arrays.values())))
+        n_local = len(next(iter(arrays.values())))
         for k, v in arrays.items():
-            if len(v) != n:
+            if len(v) != n_local:
                 raise ValueError(
-                    f"array '{k}' has {len(v)} samples, expected {n}"
+                    f"array '{k}' has {len(v)} samples, expected {n_local}"
                 )
-        B, K = batch_size, max(1, group_size)
+        # Multi-host: each process passes its LOCAL dataset shard and
+        # LOCAL batch size (the same convention as the host DataLoader's
+        # ShardedSampler slice + shard_batch assembly). The global flat
+        # epoch is assembled from the per-process shards; every count
+        # below (N, B, groups) is then GLOBAL, and the per-epoch
+        # permutation — identical on every process, deterministic in
+        # (seed, epoch) — reshuffles sample-level across the whole
+        # cluster inside the jitted gather.
+        n_proc = jax.process_count() if mesh is not None else 1
+        self._multihost = n_proc > 1
+        if self._multihost and mesh is not None:
+            data_ax = dict(mesh.shape).get("data", 1)
+            if data_ax % n_proc:
+                raise ValueError(
+                    f"mesh data axis ({data_ax}) must divide by the "
+                    f"process count ({n_proc}) for multi-host residency"
+                )
+        B_local, K = batch_size, max(1, group_size)
+        n = n_local * n_proc
+        B = B_local * n_proc
         if n % (B * K):
             raise ValueError(
                 f"N={n} must divide by batch_size*group_size={B * K} "
@@ -94,7 +113,7 @@ class DeviceEpochLoader:
                     f"batch_size={B} must divide by the mesh data axis "
                     f"({data})"
                 )
-        self.batch_size = B
+        self.batch_size = B_local  # per-process view (Trainer contract)
         self.group_size = K
         self.mesh = mesh
         self.seed = seed
@@ -110,12 +129,17 @@ class DeviceEpochLoader:
         self._groups = spe // K
 
         dsh = batch_sharding(mesh) if mesh is not None else None
+
+        def _stage(v, sh):
+            v = np.asarray(v)
+            if self._multihost:
+                return jax.make_array_from_process_local_data(sh, v)
+            if sh is not None:
+                return jax.device_put(v, sh)
+            return jax.device_put(v)
+
         # flat epoch staged ONCE (the only bulk H2D of the run)
-        self._flat = {
-            k: (jax.device_put(np.asarray(v), dsh) if dsh is not None
-                else jax.device_put(np.asarray(v)))
-            for k, v in arrays.items()
-        }
+        self._flat = {k: _stage(v, dsh) for k, v in arrays.items()}
         self._shared = {}
         if shared:
             gsh = (
@@ -124,17 +148,24 @@ class DeviceEpochLoader:
             )
             for k, v in shared.items():
                 v = np.asarray(v)
-                if len(v) != B:
+                if len(v) != B_local:
                     raise ValueError(
-                        f"shared '{k}' must be a [B={B}, ...] batch, got "
-                        f"{v.shape}"
+                        f"shared '{k}' must be a [B={B_local}, ...] "
+                        f"batch, got {v.shape}"
                     )
                 if K > 1:
                     v = np.broadcast_to(v[None], (K,) + v.shape)
-                self._shared[k] = (
-                    jax.device_put(v, gsh) if gsh is not None
-                    else jax.device_put(v)
-                )
+                if self._multihost:
+                    # per-batch constants: every process contributes its
+                    # B_local rows of the global [.., B, ...] batch axis
+                    self._shared[k] = jax.make_array_from_process_local_data(
+                        gsh, v
+                    )
+                else:
+                    self._shared[k] = (
+                        jax.device_put(v, gsh) if gsh is not None
+                        else jax.device_put(v)
+                    )
 
         out_spec = (
             jax.sharding.NamedSharding(
@@ -178,6 +209,7 @@ class DeviceEpochLoader:
         shuffle: bool = True,
         read_chunk: int = 256,
         verbose: bool = True,
+        indices: Optional[Sequence[int]] = None,
     ) -> "DeviceEpochLoader":
         """Materialize a map-style dataset into an HBM-resident loader.
 
@@ -187,9 +219,27 @@ class DeviceEpochLoader:
         tiny dummy via `shared` instead of staging real frames), skips
         non-array fields, and trims N down to a multiple of
         batch_size*group_size (static shapes — the same drop-last rule
-        as the host DataLoader, extended to the scan group)."""
-        n_total = len(dataset)
+        as the host DataLoader, extended to the scan group).
+
+        `indices` restricts the read to a subset of the dataset — the
+        multi-host path passes this process's static shard
+        (range(process_index, N, process_count), the ShardedSampler
+        slice rule) so each host stages only its share of the epoch."""
+        idx_all = (list(indices) if indices is not None
+                   else list(range(len(dataset))))
+        n_total = len(idx_all)
         B, K = batch_size, max(1, group_size)
+        if mesh is not None and jax.process_count() > 1:
+            # per-process dataset shards can differ by one sample; the
+            # resident global assembly needs every process to stage the
+            # SAME local count — sync to the cluster-wide minimum
+            from jax.experimental import multihost_utils
+
+            n_total = int(
+                multihost_utils.process_allgather(
+                    np.asarray(n_total)
+                ).min()
+            )
         n = (n_total // (B * K)) * (B * K)
         if n == 0:
             raise ValueError(
@@ -200,7 +250,7 @@ class DeviceEpochLoader:
         dropped = set(drop) | {"_real_count"}
         chunks: list = []
         for lo in range(0, n, read_chunk):
-            idxs = list(range(lo, min(lo + read_chunk, n)))
+            idxs = idx_all[lo:min(lo + read_chunk, n)]
             if reader is not None:
                 c = dict(reader(idxs))
                 # free dropped fields (e.g. frames) per chunk, not at the
@@ -251,7 +301,18 @@ class DeviceEpochLoader:
             rng.permutation(self._n) if self.shuffle
             else np.arange(self._n)
         )
-        perm_dev = jax.device_put(perm.astype(np.int32))
+        if self._multihost:
+            # every process computed the SAME perm (deterministic rng);
+            # stage it replicated over the mesh so the jitted global
+            # gather sees one consistent global argument
+            perm_dev = jax.make_array_from_process_local_data(
+                jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec()
+                ),
+                perm.astype(np.int32),
+            )
+        else:
+            perm_dev = jax.device_put(perm.astype(np.int32))
         self._epoch_groups = self._reshuffle(self._flat, perm_dev)
         reps = -(-self._groups // self._groups_nat)  # ceil
         order = np.concatenate([

@@ -68,31 +68,59 @@ def _make_carla_root(tmp_path, rng, n=32):
     return root
 
 
-def _run_cluster(tmp_path, argv):
+def _run_cluster(tmp_path, argv, retries=1):
     """Launch 2 worker processes running the train CLI with `argv` inside
-    a shared jax.distributed cluster; return {proc: best_val_loss}."""
+    a shared jax.distributed cluster; return {proc: best_val_loss}.
+
+    On a loaded box the Gloo rendezvous/heartbeat can miss its deadline
+    before the workers ever reach user code (observed when a concurrent
+    heavy job contends for CPU — VERDICT r4 weak #5). A failure whose
+    output carries a cluster-infrastructure signature (init/heartbeat/
+    barrier/timeout) retries ONCE on a fresh port; a genuine test
+    failure (assertion, user-code traceback) never retries."""
+    _CLUSTER_SIGS = (
+        "jax.distributed", "DEADLINE_EXCEEDED", "heartbeat",
+        "barrier", "UNAVAILABLE", "failed to connect",
+        "coordination service", "timed out",
+    )
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     argv_file = tmp_path / "argv.json"
     argv_file.write_text(json.dumps(argv))
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(i), "2", str(port),
-             str(argv_file)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=Path(__file__).resolve().parents[1],
-        )
-        for i in range(2)
-    ]
-    results = {}
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        assert p.returncode == 0, out[-3000:]
-        for line in out.splitlines():
-            if line.startswith("MH_RESULT "):
-                r = json.loads(line[len("MH_RESULT "):])
-                results[r["proc"]] = r["best"]
+    for attempt in range(retries + 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), "2", str(port),
+                 str(argv_file)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=Path(__file__).resolve().parents[1],
+            )
+            for i in range(2)
+        ]
+        results, failed_out = {}, None
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                out += "\n[test] timed out"
+            if p.returncode != 0 and failed_out is None:
+                failed_out = out
+            for line in out.splitlines():
+                if line.startswith("MH_RESULT "):
+                    r = json.loads(line[len("MH_RESULT "):])
+                    results[r["proc"]] = r["best"]
+        if failed_out is None:
+            break
+        infra = any(s.lower() in failed_out.lower() for s in _CLUSTER_SIGS)
+        if attempt < retries and infra:
+            print(f"[test] cluster-infrastructure failure (attempt "
+                  f"{attempt + 1}); retrying on a fresh port:\n"
+                  f"{failed_out[-800:]}", flush=True)
+            continue
+        raise AssertionError(failed_out[-3000:])
     assert set(results) == {0, 1}, results
     # the exact cross-process val aggregation means every process derives
     # the SAME best val loss (reference all-reduces [loss, count])
@@ -149,6 +177,46 @@ def test_two_process_expert_parallel_gating(tmp_path, rng):
         "--run-name", "mh_ep",
     ])
     ckpt = tmp_path / "ckpt" / "gating_ep" / "mh_ep"
+    assert (ckpt / "best").exists() and (ckpt / "last").exists()
+
+
+@pytest.mark.slow
+def test_two_process_device_resident_gating(tmp_path, rng):
+    """Multi-host `--device-resident` (r5, VERDICT r4 item 5): each
+    process stages its static shard of the cached-gating working set,
+    the loader assembles one global HBM-resident epoch
+    (make_array_from_process_local_data) and reshuffles it with a
+    cluster-identical permutation; training runs the pre-grouped scan
+    path across both hosts. The exact cross-process val aggregation
+    (host-loader val) must still agree bit-for-bit between processes —
+    any inconsistency in the global assembly or the resident reshuffle
+    desyncs the params and fails the _run_cluster equality check."""
+    root = _make_carla_root(tmp_path, rng)
+    model_cfg = {
+        "experts": [
+            {"type": "drivable", "num_classes": 3},
+            {"type": "nuscenes", "num_queries": 8, "bbox_dim": 4,
+             "fusion": "sum", "use_lidar": False},
+        ],
+        "gating": {"top_k": 0, "noise_scale": 0.0},
+        "context": {"type": "simple"},
+        "policy": {"num_waypoints": 4},
+    }
+    cfg_path = tmp_path / "model.json"
+    cfg_path.write_text(json.dumps(model_cfg))
+    _run_cluster(tmp_path, [
+        "gating",
+        "--model-config", str(cfg_path),
+        "--data-root", str(root),
+        "--cache-expert-features", "--device-resident",
+        "--steps-per-call", "2",
+        "--epochs", "2", "--batch-size", "2", "--num-workers", "1",
+        "--image-size", "32",
+        "--ckpt-root", str(tmp_path / "ckpt"),
+        "--runs-root", str(tmp_path / "runs"),
+        "--run-name", "mh_dr",
+    ])
+    ckpt = tmp_path / "ckpt" / "gating" / "mh_dr"
     assert (ckpt / "best").exists() and (ckpt / "last").exists()
 
 
