@@ -667,6 +667,14 @@ class Trainer:
         self.logger.log(self._host_step, avg, prefix=prefix)
         return avg.get("loss", float("inf"))
 
+    #: optional callable(epoch:int) invoked after each epoch's
+    #: train+validate+checkpoint completes, while the devices are idle —
+    #: benchmarks use it to re-measure the device-step bound BETWEEN
+    #: epochs in the same process (the interleaved-bound protocol,
+    #: benchmarks/sustained_epoch_bench.py --interleave-bounds), and it
+    #: is the natural seam for callbacks (early stop, external eval)
+    epoch_hook = None
+
     def fit(self, config_dump: Optional[Dict] = None) -> Dict[str, float]:
         best = float("inf")
         for epoch in range(self.start_epoch, self.cfg.epochs):
@@ -692,6 +700,8 @@ class Trainer:
                     f"train {train_loss:.4f} val {raw_val:.4f}" + ema_note
                     + (" *best*" if is_best else "")
                 )
+            if self.epoch_hook is not None:
+                self.epoch_hook(epoch)
         self.ckpt.wait()  # async saves must land before callers read them
         self.logger.close()
         return {"best_val_loss": best}

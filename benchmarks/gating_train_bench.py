@@ -47,13 +47,16 @@ from automoe_tpu.utils import enable_compile_cache
 from benchmarks.train_stage_bench import timed_scan
 
 
-def measure_cached_step_ms(batch=32, image=256, dtype="float32", k_hi=12):
-    """Device-step time (ms) of the frozen-expert FEATURE-CACHE gating
-    train step — the flagship T7 pipeline's production configuration
-    (`--cache-expert-features`). Factored out of main()'s v_cached
-    variant so bench.py can regression-track the training path each
-    round (VERDICT r3 item 7). Same methodology: serialized scan chain,
-    two-K differencing, per-step pooled-input nudge so nothing hoists."""
+def make_cached_step_measurer(batch=32, image=256, dtype="float32",
+                              k_lo=2, k_hi=12, reps=4):
+    """Reusable measurer for the frozen-expert FEATURE-CACHE gating
+    train-step device time — the flagship T7 production configuration
+    (`--cache-expert-features`). Builds the workload/state/jitted chain
+    ONCE and returns a zero-arg callable -> step ms, so the interleaved-
+    bound protocol (sustained_epoch_bench --interleave-bounds) can
+    re-measure the bound between epochs without retracing. Methodology:
+    serialized scan chain, two-K differencing, per-step pooled-input
+    nudge so nothing hoists (timed_scan docstring)."""
     from automoe_tpu.configs import default_model_config
     from automoe_tpu.models.automoe import (
         automoe_pooled_features,
@@ -102,8 +105,19 @@ def measure_cached_step_ms(batch=32, image=256, dtype="float32", k_hi=12):
         new_state, _ = _train_body(wl_c.loss_fn, state, b, k)
         return new_state
 
-    return timed_scan(v_cached, state, batch_cached, jax.random.key(1),
-                      k_hi=k_hi)
+    from benchmarks.train_stage_bench import make_timed_scan
+
+    return make_timed_scan(v_cached, state, batch_cached,
+                           jax.random.key(1), k_lo=k_lo, k_hi=k_hi,
+                           reps=reps)
+
+
+def measure_cached_step_ms(batch=32, image=256, dtype="float32", k_hi=12):
+    """One-shot cached-gating step time (ms) — bench.py's regression
+    hook (VERDICT r3 item 7)."""
+    return make_cached_step_measurer(
+        batch=batch, image=image, dtype=dtype, k_hi=k_hi
+    )()
 
 
 def main():

@@ -155,7 +155,8 @@ def build_gating_cached(epochs: int):
     return wl, train_loader, val_loader, cfg, B
 
 
-def run_pipeline(name: str, epochs: int, out_root: str):
+def run_pipeline(name: str, epochs: int, out_root: str,
+                 interleave: bool = False, k_lo: int = 2, k_hi: int = 12):
     from automoe_tpu.train.loop import Trainer
 
     build = {"detection": build_detection,
@@ -165,6 +166,48 @@ def run_pipeline(name: str, epochs: int, out_root: str):
     cfg.runs_root = os.path.join(out_root, "runs")
     t_build0 = time.time()
     trainer = Trainer(wl, train_loader, val_loader, cfg, mesh=None)
+
+    # Interleaved-bound protocol (r5, VERDICT r4 item 4 + ADVICE r4):
+    # the r4 runs measured the device-step bound ONCE per day, so relay
+    # jitter between the bound measurement and each epoch was not
+    # separable from loop overhead — and a best-epoch fraction of 1.15x
+    # a same-day bound is a measurement discrepancy, not a win (a fully
+    # synced epoch cannot beat a differenced chain of the same step).
+    # Here the SAME measurer (one jitted chain, compiled once) re-runs
+    # immediately after every epoch in the same process: each epoch is
+    # scored against its same-minute bound, so jitter moves numerator
+    # and denominator together. A longer chain (k_lo/k_hi CLI) tightens
+    # the slope against per-rep jitter.
+    bounds_log = []
+    if interleave and name == "gating-cached":
+        from benchmarks.gating_train_bench import make_cached_step_measurer
+
+        measurer = make_cached_step_measurer(
+            batch=B, image=256, k_lo=k_lo, k_hi=k_hi, reps=3
+        )
+        t_m = time.time()
+        pre = measurer()
+        bounds_log.append({
+            "after_epoch": 0, "step_ms": round(pre, 3),
+            "bound_samples_per_sec": round(B / pre * 1e3, 1),
+            "measure_s": round(time.time() - t_m, 1),
+        })
+        print(json.dumps({"interleaved_bound": bounds_log[-1]}),
+              flush=True)
+
+        def hook(epoch):
+            t_m = time.time()
+            ms = measurer()
+            bounds_log.append({
+                "after_epoch": epoch + 1, "step_ms": round(ms, 3),
+                "bound_samples_per_sec": round(B / ms * 1e3, 1),
+                "measure_s": round(time.time() - t_m, 1),
+            })
+            print(json.dumps({"interleaved_bound": bounds_log[-1]}),
+                  flush=True)
+
+        trainer.epoch_hook = hook
+
     t_fit0 = time.time()
     result = trainer.fit()
     t_fit = time.time() - t_fit0
@@ -187,7 +230,32 @@ def run_pipeline(name: str, epochs: int, out_root: str):
         }
         for r in epochs_rows
     ]
+    if bounds_log:
+        # score each epoch against the bound measured IMMEDIATELY after
+        # it (same-minute tunnel conditions); epoch i uses bounds_log
+        # entry with after_epoch == i+1
+        by_epoch = {b["after_epoch"]: b for b in bounds_log}
+        fractions = []
+        for i, row in enumerate(per_epoch):
+            b = by_epoch.get(i + 1)
+            if b:
+                frac = row["samples_per_sec"] / b["bound_samples_per_sec"]
+                row["same_minute_bound_samples_per_sec"] = (
+                    b["bound_samples_per_sec"]
+                )
+                row["fraction_of_same_minute_bound"] = round(frac, 3)
+                if i > 0:  # epoch 1 is compile-dominated; exclude
+                    fractions.append(frac)
+        extra = {
+            "interleaved_bounds": bounds_log,
+            "median_postcompile_fraction": (
+                round(float(np.median(fractions)), 3) if fractions else None
+            ),
+        }
+    else:
+        extra = {}
     return {
+        **extra,
         "pipeline": name,
         "batch_size": B,
         "steps_per_call": cfg.steps_per_call,
@@ -210,6 +278,16 @@ def main():
     p.add_argument("--bounds", action="store_true",
                    help="also measure the device-step bounds (adds the "
                         "step microbenches' compile+run time)")
+    p.add_argument("--interleave-bounds", action="store_true",
+                   help="gating-cached only: re-measure the device-step "
+                        "bound BETWEEN epochs in the same process and "
+                        "score each epoch against its same-minute bound "
+                        "(the jitter-proof protocol; VERDICT r4 item 4)")
+    p.add_argument("--k-lo", type=int, default=2)
+    p.add_argument("--k-hi", type=int, default=12,
+                   help="chain lengths for the interleaved bound; longer "
+                        "chains tighten the slope against relay jitter "
+                        "(e.g. --k-lo 8 --k-hi 40)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes on CPU — plumbing check, not a bench")
     args = p.parse_args()
@@ -232,7 +310,11 @@ def main():
              else [args.pipeline])
     out = {"device": str(dev)}
     for name in names:
-        out[name] = run_pipeline(name, args.epochs, args.out)
+        out[name] = run_pipeline(
+            name, args.epochs, args.out,
+            interleave=args.interleave_bounds,
+            k_lo=args.k_lo, k_hi=args.k_hi,
+        )
         print(json.dumps({name: out[name]}), flush=True)
 
     if args.bounds:

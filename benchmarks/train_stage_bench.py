@@ -50,13 +50,19 @@ import numpy as np
 from automoe_tpu.utils import enable_compile_cache
 
 
-def timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
-    """Per-iteration time of `step_fn` (carry, *aux) -> carry, scanned K
-    times with the FULL carry reduced into the fetched scalar (no DCE)
-    and differenced over two K's (dispatch/fetch cost cancels). The
-    carry is NOT donated, so one device-resident c0 serves every run —
-    re-uploading a 135 MB TrainState per rep over this tunnel (~50 MB/s)
-    buried the signal in upload-scheduling noise."""
+def make_timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
+    """Build a reusable measurer for the per-iteration time of `step_fn`
+    (carry, *aux) -> carry: scanned K times with the FULL carry reduced
+    into the fetched scalar (no DCE) and differenced over two K's
+    (dispatch/fetch cost cancels). The carry is NOT donated, so one
+    device-resident c0 serves every run — re-uploading a 135 MB
+    TrainState per rep over this tunnel (~50 MB/s) buried the signal in
+    upload-scheduling noise.
+
+    Returns a zero-arg callable -> slope ms. The jitted chain is built
+    ONCE and closed over, so repeated calls (the interleaved-bound
+    protocol re-measures the bound between training epochs in the same
+    process) cost only the chain executions, no retrace/recompile."""
 
     @functools.partial(jax.jit, static_argnames="K")
     def chained(c, K, *aux):
@@ -70,7 +76,7 @@ def timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
         )
 
     def run(K):
-        np.asarray(chained(c0, K, *aux))  # compile
+        np.asarray(chained(c0, K, *aux))  # compile / warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -78,14 +84,24 @@ def timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
-    if slope <= 0:
-        # sub-noise stage (can happen for ~0-cost bodies on CPU smoke
-        # runs); report 0 rather than abort the whole budget
-        print(f"[tsb] WARNING: non-positive slope {slope:.4f} ms -> 0",
-              file=sys.stderr, flush=True)
-        return 0.0
-    return slope
+    def measure():
+        slope = (run(k_hi) - run(k_lo)) / (k_hi - k_lo) * 1e3
+        if slope <= 0:
+            # sub-noise stage (can happen for ~0-cost bodies on CPU smoke
+            # runs); report 0 rather than abort the whole budget
+            print(f"[tsb] WARNING: non-positive slope {slope:.4f} ms -> 0",
+                  file=sys.stderr, flush=True)
+            return 0.0
+        return slope
+
+    return measure
+
+
+def timed_scan(step_fn, c0, *aux, k_lo=2, k_hi=12, reps=4):
+    """One-shot `make_timed_scan` (the original API)."""
+    return make_timed_scan(
+        step_fn, c0, *aux, k_lo=k_lo, k_hi=k_hi, reps=reps
+    )()
 
 
 def main():
