@@ -9,7 +9,12 @@
 #  * the pipeline-parallel growth-path HBM proof
 #    (tests/test_deep_policy.py::test_aot_v5e_pp_memory_growth_path —
 #    the 64-block/512ch deep-policy config that exceeds one v5e's
-#    16 GiB but fits 8-stage pipelined, by XLA memory analysis).
+#    16 GiB but fits 8-stage pipelined, by XLA memory analysis);
+#  * the convergence-outcome parity run (tests/test_torch_train_parity
+#    .py::test_drivable_convergence_outcome_parity — ~200 SGD steps on
+#    BOTH the real reference BDDTrainer and our Trainer to convergence,
+#    final mIoU/pixel-acc equal under both eval recipes; r5,
+#    VERDICT r4 item 3).
 # Add future slow AOT pins here. NOTE: deviceless TPU topologies grab
 # the libtpu lockfile — run while no real-TPU job is active.
 #
@@ -26,9 +31,10 @@ cd "$(dirname "$0")/.."
 LOG=benchmarks/slow_lane.log
 {
   echo "=== slow_lane $(date -u +%Y-%m-%dT%H:%M:%SZ) $(git rev-parse --short HEAD 2>/dev/null || echo nogit) ==="
-  RUN_SLOW_AOT=1 timeout 3300 python -m pytest \
+  RUN_SLOW_AOT=1 RUN_SLOW_CONVERGENCE=1 timeout 4500 python -m pytest \
     "tests/test_remat.py::test_aot_v5e_remat_memory_cut" \
     "tests/test_deep_policy.py::test_aot_v5e_pp_memory_growth_path" \
+    "tests/test_torch_train_parity.py::test_drivable_convergence_outcome_parity" \
     -rA -q -s 2>&1 | grep -v "cpu_aot_loader\|machine features"
   echo "exit=$?"
 } | tee -a "$LOG"

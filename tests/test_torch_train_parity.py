@@ -721,3 +721,146 @@ def test_gating_adamw_trajectory_parity(tmp_path, monkeypatch):
         {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
         final_vars, rtol=3e-2, atol=3e-3, max_mismatch_frac=1e-4,
     )
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SLOW_CONVERGENCE") != "1",
+    reason="convergence-outcome lane: RUN_SLOW_CONVERGENCE=1 "
+           "(scripts/slow_lane.sh) — ~200 SGD steps on each framework",
+)
+def test_drivable_convergence_outcome_parity(tmp_path, monkeypatch):
+    """OUTCOME parity to convergence (VERDICT r4 item 3): trajectory
+    parity stops at 12 steps (the AdamW assignment-fork boundary); this
+    closes the remaining question — do both frameworks arrive at the
+    SAME QUALITY MODEL? Same learnable fixture dataset (drivable 32²,
+    200 train / 48 val, road-geometry masks correlated with pixels),
+    same initial weights, both trained ~16 epochs of SGD through the
+    REAL reference BDDTrainer (train_bdd100k_ddp.py:336-397) vs our
+    Trainer; final eval metrics must agree within tolerance under BOTH
+    metric recipes (the reference's _evaluate_segmentation_batch and
+    our evals/segmentation.seg_metrics), and both must beat chance by a
+    wide margin (the dataset is learnable, so 'both diverged' cannot
+    pass)."""
+    import importlib
+
+    from automoe_tpu.evals.segmentation import seg_metrics
+
+    S, Btr, EPOCHS = 32, 16, 16
+    N_TRAIN, N_VAL = 192, 48
+    rng = np.random.default_rng(77)
+
+    def make_split(n):
+        tb, jb = [], []
+        for lo in range(0, n, Btr):
+            b = min(Btr, n - lo)
+            img = rng.normal(size=(b, 3, S, S)).astype(np.float32) * 0.3
+            mask = np.zeros((b, S, S), np.int64)
+            for i in range(b):
+                y0 = int(S * rng.uniform(0.35, 0.65))
+                xm = int(S * rng.uniform(0.3, 0.7))
+                mask[i, y0:, :xm] = 1
+                mask[i, y0:, xm:] = 2
+                # class-correlated pixels (learnable, not trivial)
+                img[i, 0, y0:, :xm] += 1.2
+                img[i, 1, y0:, xm:] += 1.2
+                img[i, 2, :y0, :] += 0.8
+            tb.append({"image": torch.from_numpy(img.copy()),
+                       "mask": torch.from_numpy(mask.copy())})
+            jb.append({"image": np.transpose(img, (0, 2, 3, 1)).copy(),
+                       "mask": mask.astype(np.int32)})
+        return tb, jb
+
+    t_train, j_train = make_split(N_TRAIN)
+    t_val, j_val = make_split(N_VAL)
+
+    torch.manual_seed(33)
+    ref_mod = importlib.import_module("training.train_bdd100k_ddp")
+    tmodel = ref_mod.BDDDrivableExpert(num_classes=3,
+                                       pretrained_backbone=False)
+    variables = ck.import_drivable_expert(to_numpy_state_dict(tmodel))
+
+    trainer = _ref_trainer("drivable", tmodel, t_train, monkeypatch,
+                           optimizer="sgd")
+    trainer.scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        trainer.optimizer, T_max=EPOCHS * len(t_train)
+    )
+    for e in range(EPOCHS):
+        trainer.train_epoch(e)
+
+    # reference metrics via the reference's own eval recipe
+    tmodel.eval()
+    ref_mets = {"pixel_acc": [], "mean_iou": []}
+    for b in t_val:
+        _, m = trainer._evaluate_segmentation_batch(b)
+        for k in ref_mets:
+            ref_mets[k].append(m[k])
+    ref_final = {k: float(np.mean(v)) for k, v in ref_mets.items()}
+
+    # ours: same init, same schedule shape, same epochs
+    wl = bdd_expert_workload("drivable", image_size=S)
+    cfg = TrainConfig(
+        epochs=EPOCHS, learning_rate=LR, weight_decay=0.0,
+        optimizer="sgd", run_name="conv", schedule="cosine",
+        ckpt_root=str(tmp_path / "ckpt"), runs_root=str(tmp_path / "runs"),
+        log_every=100, max_inflight=0,
+    )
+    from automoe_tpu.train.state import TrainState
+
+    tr = Trainer(wl, j_train, j_val, cfg)
+    tr.state = TrainState.create(
+        params=variables["params"], tx=tr.state.tx,
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    for e in range(EPOCHS):
+        tr.train_epoch(e)
+    tr.logger.close()
+
+    # our metrics via OUR eval recipe (jitted batch metrics)
+    import jax
+
+    @jax.jit
+    def _eval_batch(params, stats, image):
+        v = {"params": params}
+        if stats:
+            v["batch_stats"] = stats
+        return wl.model.apply(v, image, train=False)
+
+    ours_mets = {"pixel_acc": [], "mean_iou": []}
+    for b in j_val:
+        logits = _eval_batch(tr.state.params, tr.state.batch_stats,
+                             b["image"])
+        m = seg_metrics(logits, b["mask"], num_classes=3)
+        for k in ours_mets:
+            ours_mets[k].append(float(m[k]))
+    ours_final = {k: float(np.mean(v)) for k, v in ours_mets.items()}
+
+    # cross-check: the reference's FINAL weights through OUR eval suite
+    # (eval-recipe parity at the converged point)
+    ref_weights = ck.import_drivable_expert(to_numpy_state_dict(tmodel))
+    cross = {"pixel_acc": [], "mean_iou": []}
+    for b in j_val:
+        logits = _eval_batch(
+            ref_weights["params"], ref_weights.get("batch_stats", {}),
+            b["image"],
+        )
+        m = seg_metrics(logits, b["mask"], num_classes=3)
+        for k in cross:
+            cross[k].append(float(m[k]))
+    cross_final = {k: float(np.mean(v)) for k, v in cross.items()}
+
+    print(f"[convergence] ref={ref_final} ours={ours_final} "
+          f"cross={cross_final}", flush=True)
+    # both frameworks LEARNED (chance pixel-acc on this geometry ~0.45)
+    assert ref_final["pixel_acc"] > 0.85, ref_final
+    assert ours_final["pixel_acc"] > 0.85, ours_final
+    # outcome parity between frameworks
+    assert abs(ours_final["pixel_acc"] - ref_final["pixel_acc"]) < 0.03, (
+        ours_final, ref_final)
+    assert abs(ours_final["mean_iou"] - ref_final["mean_iou"]) < 0.05, (
+        ours_final, ref_final)
+    # eval-suite parity on identical weights
+    assert abs(cross_final["pixel_acc"] - ref_final["pixel_acc"]) < 0.01, (
+        cross_final, ref_final)
+    assert abs(cross_final["mean_iou"] - ref_final["mean_iou"]) < 0.02, (
+        cross_final, ref_final)
