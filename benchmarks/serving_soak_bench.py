@@ -42,7 +42,7 @@ import numpy as np
 HZ = 20.0  # the reference's control-loop rate
 
 
-def build_engine(kind: str, camera_hw=(600, 800)):
+def build_engine(kind: str, camera_hw=(600, 800), model_hw=(256, 256)):
     import jax.numpy as jnp
 
     from automoe_tpu.configs import default_model_config
@@ -51,6 +51,7 @@ def build_engine(kind: str, camera_hw=(600, 800)):
     return InferenceEngine(
         default_model_config(),
         camera_hw=camera_hw,
+        model_hw=model_hw,
         dtype=jnp.bfloat16,
         quantize=(kind == "int8"),
     )
@@ -295,7 +296,21 @@ def main():
                         "BENCHMARKS.md), >=2 = dispatch/fetch "
                         "pipelining for open-loop/compute-bound hosts")
     p.add_argument("--tmp", default="/tmp/serving_soak")
+    p.add_argument("--cpu", action="store_true",
+                   help="loopback soak against a CPU-backend engine: no "
+                        "tunnel, no TPU — bounds the SERVER'S OWN "
+                        "host-side overhead (group formation, future "
+                        "fan-out, queue discipline) separately from "
+                        "transport+device. The production-host "
+                        "extrapolation becomes two-sided: axon cells "
+                        "bound transport-dominated behavior, this cell "
+                        "bounds framework overhead")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from benchmarks.watchdog import init_watchdog
 
@@ -318,11 +333,18 @@ def main():
         print(json.dumps(rec), flush=True)
         return
 
+    # --cpu loopback: a small engine keeps the CPU device step in the
+    # few-ms range so the 30 s cell completes hundreds of requests and
+    # queue-wait/device percentiles resolve the SERVER overhead
+    eng_kw = (dict(camera_hw=(120, 160), model_hw=(64, 64))
+              if args.cpu else {})
     out = {"device": str(dev), "hz": HZ, "seconds": args.seconds,
-           "tunnel": tunnel_probe()}
-    print(json.dumps({"tunnel": out["tunnel"]}), flush=True)
+           "loopback_cpu": bool(args.cpu),
+           "tunnel": None if args.cpu else tunnel_probe()}
+    if out["tunnel"]:
+        print(json.dumps({"tunnel": out["tunnel"]}), flush=True)
     for kind in args.engines.split(","):
-        engine = build_engine(kind)
+        engine = build_engine(kind, **eng_kw)
         cells = []
         depths = [int(d) for d in str(args.pipeline_depth).split(",")]
         if args.open_loop:

@@ -219,6 +219,21 @@ def test_from_dataset_materializes_trims_and_drops(fast):
     np.testing.assert_array_equal(got, ds.cols["speed"][:8])
 
 
+def test_from_dataset_indices_subset():
+    """`indices` stages only the requested rows, in the given order —
+    the multi-host path's per-process static shard
+    (range(process_index, N, process_count))."""
+    ds = _MapDS(n=12, with_read_batch=True)
+    idx = list(range(1, 12, 2))  # the "process 1 of 2" slice: 6 rows
+    dl = DeviceEpochLoader.from_dataset(
+        ds, batch_size=2, group_size=1, shuffle=False, indices=idx,
+        drop=(), verbose=False, read_chunk=4,
+    )
+    assert len(dl) == 3
+    got = np.concatenate([np.asarray(b["speed"]) for b in dl])
+    np.testing.assert_array_equal(got, ds.cols["speed"][idx])
+
+
 def test_from_dataset_too_small_raises():
     with pytest.raises(ValueError, match="samples <"):
         DeviceEpochLoader.from_dataset(
