@@ -344,7 +344,11 @@ def main(argv=None):
             calib_frames=calib,
         )
         quant_s = time.time() - t_q
-        # parity probe between bf16 and int8 on one real frame
+        # parity probe between bf16 and int8 on one real frame: model
+        # outputs (waypoints / target speed) plus the derived steer
+        # command (controllers are deterministic given outputs)
+        from automoe_tpu.infer.controllers import pure_pursuit_steer
+
         f0 = calib[:1]
         o_bf = engine.infer(f0, 30.0)
         o_q = engine_q.infer(f0, 30.0)
@@ -353,9 +357,12 @@ def main(argv=None):
                 np.asarray(o_bf[k], np.float32)
                 - np.asarray(o_q[k], np.float32)
             ))), 4)
-            for k in ("steer", "throttle", "brake")
-            if k in o_bf and k in o_q
+            for k in ("waypoints", "speed")
         }
+        dev_abs["steer_cmd"] = round(abs(
+            pure_pursuit_steer(np.asarray(o_bf["waypoints"][0]))
+            - pure_pursuit_steer(np.asarray(o_q["waypoints"][0]))
+        ), 4)
         ledger.stage("export", {
             "bundle_save_s": round(bundle_s, 1),
             "int8_calibrate_s": round(quant_s, 1),
