@@ -16,9 +16,11 @@ Where the reference streams every batch from host disk through
 DataLoader workers each step (training/train_bdd100k_ddp.py:150-194 —
 the right design for a PCIe-attached GPU box), a TPU host feeding chips
 over a slow link wants the dataset resident device-side. Real uses:
- - cached-gating training (`--cache-expert-features`): the per-sample
-   working set is ~7 KB of pooled features + waypoint targets — a full
-   epoch fits HBM trivially (automoe_tpu/train/feature_cache.py);
+ - cached-gating training (`--cache-expert-features`): pooled features
+   + waypoint targets + frames (r5: frames ARE staged — the policy
+   backbone trains through them, models/automoe.py:214-224 — at
+   S*S*3*4 B each, so epoch size is frame-bound: ~786 KB/sample at
+   256²; a few thousand samples fit comfortably);
  - any synthetic/augmentation-generated workload;
  - datasets whose packed shards fit HBM (see data/packed.py sizes).
 
@@ -28,9 +30,10 @@ TrainConfig.steps_per_call`, the Trainer's grouped path detects the
 loader (attribute `group_size`) and dispatches each yielded [K,B,...]
 group straight into the scan step — no host stacking, no transfer.
 
-`shared` entries are per-batch constants (e.g. the DCE'd `image` input
-the cached-gating model still requires structurally — models/automoe.py
-`cached_pooled` path) staged once and re-yielded with every group.
+`shared` entries are per-batch constants staged once and re-yielded
+with every group (for inputs that genuinely don't vary per sample —
+NOT for frames; see `from_dataset` on why dropping consumed fields is
+a correctness bug).
 """
 from __future__ import annotations
 
@@ -203,7 +206,7 @@ class DeviceEpochLoader:
         batch_size: int,
         group_size: int = 1,
         mesh=None,
-        drop=("image",),
+        drop=(),
         shared: Optional[Dict[str, np.ndarray]] = None,
         seed: int = 0,
         shuffle: bool = True,
@@ -214,12 +217,24 @@ class DeviceEpochLoader:
         """Materialize a map-style dataset into an HBM-resident loader.
 
         Reads every sample once on the host (the dataset's `read_batch`
-        fast path when it has one), drops `drop` keys (the cached-gating
-        step's `image` is structurally required but DCE'd — supply a
-        tiny dummy via `shared` instead of staging real frames), skips
-        non-array fields, and trims N down to a multiple of
-        batch_size*group_size (static shapes — the same drop-last rule
-        as the host DataLoader, extended to the scan group).
+        fast path when it has one), drops `drop` keys, skips non-array
+        fields, and trims N down to a multiple of batch_size*group_size
+        (static shapes — the same drop-last rule as the host DataLoader,
+        extended to the scan group).
+
+        `drop` defaults to EMPTY: every model input the dataset yields
+        is staged. Dropping a consumed field silently changes the
+        trained model — the r4 default dropped `image` on the false
+        claim that the cached-gating step DCEs it, but the trajectory
+        policy head consumes the image through its own TRAINABLE
+        backbone (models/automoe.py:214-224, mirroring reference
+        automoe.py's second image consumption), so r4 device-resident
+        gating runs trained that backbone on a dummy. Measured on the
+        v5e (r5 probe): the cached step is 4.5 ms with real 256-sq
+        frames vs ~0.1 ms with a 4x4 dummy — the image path IS the
+        step. Only pass `drop` for fields verified unused by the loss;
+        tests/test_device_resident.py pins that the cached-gating loss
+        depends on image pixels.
 
         `indices` restricts the read to a subset of the dataset — the
         multi-host path passes this process's static shard
@@ -313,6 +328,10 @@ class DeviceEpochLoader:
             )
         else:
             perm_dev = jax.device_put(perm.astype(np.int32))
+        # drop the previous epoch's grouped copy BEFORE gathering the new
+        # one — with frames resident (r5) the grouped layout is pool-sized,
+        # and holding old+new+flat tripled peak HBM
+        self._epoch_groups = None
         self._epoch_groups = self._reshuffle(self._flat, perm_dev)
         reps = -(-self._groups // self._groups_nat)  # ceil
         order = np.concatenate([

@@ -465,9 +465,10 @@ def cmd_gating(args):
         if args.spatial:
             raise SystemExit(
                 "--cache-expert-features is exclusive with --spatial "
-                "(spatial shards the image compute the cache skips; the "
-                "cached step's image input is structurally required but "
-                "DCE'd — models/automoe.py cached_pooled path)"
+                "(spatial sharding targets the expert trunks' image "
+                "compute, which the cache skips; the cached step's "
+                "remaining image consumer — the policy backbone, "
+                "models/automoe.py:214-224 — is below SP's useful size)"
             )
         # --tp-min-dim COMPOSES with the cache (r4, VERDICT r3 item 8):
         # TP shards the *trainable* kernels (extractor MLPs, gating,
@@ -477,8 +478,11 @@ def cmd_gating(args):
     if args.device_resident:
         if not args.cache_expert_features:
             raise SystemExit(
-                "--device-resident requires --cache-expert-features (raw "
-                "frames don't fit HBM; the cached working set does)"
+                "--device-resident requires --cache-expert-features "
+                "(the resident working set = frames + pooled features + "
+                "control targets; without the cache the expert trunks "
+                "would also need lidar and recompute per epoch — use "
+                "the host loader there)"
             )
         if jax.process_count() > 1 and args.no_mesh:
             raise SystemExit(
@@ -568,19 +572,18 @@ def cmd_gating(args):
     if args.device_resident:
         # Stage the (cached) epoch working set HBM-resident once and feed
         # the Trainer pre-grouped device batches: zero per-step H2D, one
-        # metrics RPC per steps_per_call — holds the device-step bound
-        # for whole epochs on thin-host/tunneled runtimes (measured 1.06x
-        # the differenced bound, benchmarks/BENCHMARKS.md "Sustained
-        # epoch"). Requires the feature cache: with it the per-sample
-        # working set is ~7 KB (pooled features + control targets; the
-        # DCE'd image input is satisfied by a tiny shared dummy instead
-        # of real frames).
-        import numpy as np
-
+        # metrics RPC per steps_per_call. Requires the feature cache.
+        # IMAGES ARE STAGED TOO (r5 fix): the trajectory policy head
+        # trains THROUGH its own image backbone during gating training
+        # (models/automoe.py:214-224), so frames are part of the step's
+        # live inputs — the r4 version dropped them for a 4x4 dummy on a
+        # false DCE claim and trained a crippled policy backbone. HBM
+        # cost is N * S*S*3 * 4 B (fp32 frames); the staging printout
+        # reports the MiB — for working sets past a few GiB, shrink the
+        # epoch or fall back to the host loader.
         from automoe_tpu.data.device_resident import DeviceEpochLoader
 
         K = max(1, args.steps_per_call)
-        dummy = {"image": np.zeros((args.batch_size, 4, 4, 3), np.float32)}
         # Multi-host (r5, VERDICT r4 item 5): each process stages only
         # ITS static shard of the dataset (the ShardedSampler slice
         # rule); the loader assembles the shards into one global
@@ -597,7 +600,7 @@ def cmd_gating(args):
         # batches-per-epoch (Trainer.rebind_train_loader does both).
         trainer.rebind_train_loader(DeviceEpochLoader.from_dataset(
             train.dataset, batch_size=args.batch_size, group_size=K,
-            mesh=trainer.mesh, shared=dummy, seed=args.seed,
+            mesh=trainer.mesh, seed=args.seed,
             indices=indices,
         ))
         # Validation stays on the HOST loader: DeviceEpochLoader would

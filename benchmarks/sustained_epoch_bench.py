@@ -110,16 +110,25 @@ def build_gating_cached(epochs: int):
 
     B, K = 32, 16
     steps_per_epoch = 4096  # 131,072 samples/epoch
-    n = 65_536  # resident samples; epoch cycles the pool twice
+    S = 256
+    # resident pool: REAL-SIZED frames are staged (r5 fix — the policy
+    # head trains through its own image backbone, so frames are live
+    # step inputs; the r4 4x4-dummy staging measured a ~0.1 ms crippled
+    # step instead of the 4.5 ms production step). fp32 frames are
+    # 786 KB each: n=4096 keeps flat+grouped copies ≈ 6.4 GiB, inside
+    # the v5e's 16 GiB with headroom; the epoch cycles the pool 32x
+    # (pool diversity is irrelevant to throughput measurement).
+    n = 4096
     if SMOKE:
-        B, K, steps_per_epoch, n = 4, 2, 8, 16
+        B, K, steps_per_epoch, n, S = 4, 2, 8, 16, 32
     mc = default_model_config()
-    wl = gating_workload(mc, image_size=256, dtype=jnp.float32,
+    wl = gating_workload(mc, image_size=S, dtype=jnp.float32,
                          cache_features=True)
     horizon = wl.example_batch["waypoints"].shape[1]
     cfg_model = wl.model.config
     rng = np.random.default_rng(0)
     arrays = {
+        "image": rng.normal(size=(n, S, S, 3)).astype(np.float32) * 0.5,
         "speed": rng.uniform(0, 10, (n, horizon)).astype(np.float32),
         "steering": rng.normal(size=(n, horizon)).astype(np.float32) * 0.3,
         "throttle": rng.uniform(0, 1, (n, horizon)).astype(np.float32),
@@ -130,20 +139,14 @@ def build_gating_cached(epochs: int):
         arrays[f"expert_pooled_{i}"] = rng.normal(
             size=(n, pooled_feature_dim(ecfg))
         ).astype(np.float32)
-    # the cached-gating graph requires an NHWC image input structurally
-    # but never reads its pixels (DCE'd — models/automoe.py cached_pooled
-    # path, pinned in tests/test_frozen_dce.py): a tiny dummy satisfies
-    # the shape contract at ~zero HBM instead of staging real frames
-    shared = {"image": np.zeros((B, 4, 4, 3), np.float32)}
-    nv = B * 64
+    nv = B * 16
     val_arrays = {k: v[:nv] for k, v in arrays.items()}
     train_loader = DeviceEpochLoader(
-        arrays, batch_size=B, group_size=K, shared=shared,
+        arrays, batch_size=B, group_size=K,
         steps_per_epoch=steps_per_epoch, seed=0,
     )
     val_loader = DeviceEpochLoader(
-        val_arrays, batch_size=B, group_size=1,
-        shared={"image": shared["image"]}, seed=1, shuffle=False,
+        val_arrays, batch_size=B, group_size=1, seed=1, shuffle=False,
     )
     from automoe_tpu.train.loop import TrainConfig
 
@@ -183,7 +186,8 @@ def run_pipeline(name: str, epochs: int, out_root: str,
         from benchmarks.gating_train_bench import make_cached_step_measurer
 
         measurer = make_cached_step_measurer(
-            batch=B, image=256, k_lo=k_lo, k_hi=k_hi, reps=3
+            batch=B, image=(32 if SMOKE else 256),
+            k_lo=k_lo, k_hi=k_hi, reps=3
         )
         t_m = time.time()
         pre = measurer()

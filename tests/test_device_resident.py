@@ -197,14 +197,16 @@ class _MapDS:
 @pytest.mark.parametrize("fast", [False, True], ids=["rows", "read_batch"])
 def test_from_dataset_materializes_trims_and_drops(fast):
     """from_dataset stages every kept field bit-exactly, trims N to a
-    batch_size*group_size multiple, drops the `drop` keys (the DCE'd
-    image), and re-yields `shared` constants with every group."""
+    batch_size*group_size multiple, drops explicitly-requested `drop`
+    keys (default: NOTHING is dropped — r5 fix; frames are live inputs
+    of the cached-gating step via the policy backbone), and re-yields
+    `shared` constants with every group."""
     ds = _MapDS(n=11, with_read_batch=fast)
     B, K = 2, 2
     shared = {"image": np.zeros((B, 4, 4, 3), np.float32)}
     dl = DeviceEpochLoader.from_dataset(
         ds, batch_size=B, group_size=K, shared=shared, shuffle=False,
-        read_chunk=3, verbose=False,
+        read_chunk=3, verbose=False, drop=("image",),
     )
     assert len(dl) == 4  # 11 samples -> trimmed to 8 -> 4 batches of B=2
     groups = list(dl)

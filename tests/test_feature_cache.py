@@ -163,6 +163,38 @@ def test_cached_train_step_equals_experts_eval(variables, rng):
             np.testing.assert_array_equal(np.asarray(leaf), np.asarray(ref))
 
 
+def test_cached_step_loss_depends_on_image_pixels(variables, rng):
+    """Pin the r5 correctness fix: the cached-gating step's IMAGE input
+    is NOT dead — the trajectory policy head consumes it through its own
+    trainable backbone (models/automoe.py:214-224, mirroring the
+    reference's second image consumption in automoe.py). The r4
+    device-resident staging dropped frames for a 4x4 dummy on a false
+    DCE claim, silently training that backbone on zeros; this test fails
+    if anyone reintroduces an image drop upstream of the cached loss
+    (measured on the v5e: the image path is 4.4 of the 4.5 ms step)."""
+    wl_c = gating_workload(MODEL_CFG, image_size=S, cache_features=True)
+    batch = _batch(rng)
+    pooled = automoe_pooled_features(wl_c.model, variables, batch)
+    batch_c = dict(batch)
+    for k, p in zip(pooled_keys(4), pooled):
+        batch_c[k] = np.asarray(p)
+    batch_c2 = dict(batch_c)
+    batch_c2["image"] = batch_c["image"] + 0.5
+
+    def loss_of(b):
+        loss, _ = wl_c.loss_fn(
+            variables["params"], variables.get("batch_stats", {}),
+            b, jax.random.key(3), True,
+        )
+        return float(loss)
+
+    l1, l2 = loss_of(batch_c), loss_of(batch_c2)
+    assert abs(l1 - l2) > 1e-6, (
+        "cached-gating loss ignored the image — the policy backbone "
+        f"path has been severed (loss {l1} == {l2})"
+    )
+
+
 class _TinyDataset:
     def __init__(self, rng, n=5, horizon=4):
         self.samples = [
@@ -294,10 +326,10 @@ def test_cli_gating_cache_smoke(tmp_path, rng):
 
 def test_cli_gating_device_resident_smoke(tmp_path, rng):
     """gating --cache-expert-features --device-resident --steps-per-call 2
-    end-to-end on the 8-device mesh: the cached epoch working set stages
-    HBM-resident (images replaced by the DCE'd dummy), the Trainer's
-    pre-grouped scan path consumes [K,B,...] device groups, and a best
-    checkpoint lands."""
+    end-to-end on the 8-device mesh: the cached epoch working set —
+    INCLUDING real frames (r5 fix: the policy backbone consumes them) —
+    stages HBM-resident, the Trainer's pre-grouped scan path consumes
+    [K,B,...] device groups, and a best checkpoint lands."""
     import torch
 
     from tests.test_data import _make_carla_frame
