@@ -193,6 +193,37 @@ class DeviceEpochLoader:
             return jax.tree.map(one, flat_tree)
 
         self._reshuffle = _reshuffle
+
+        take_out_spec = (
+            jax.sharding.NamedSharding(
+                mesh,
+                jax.sharding.PartitionSpec(
+                    *(() if K == 1 else (None,)), "data"
+                ),
+            )
+            if mesh is not None else None
+        )
+
+        # ONE dispatch per yielded group: slicing each field separately
+        # cost ~10 host RPC dispatches per group on tunneled runtimes —
+        # measured ~37 ms/group of host overhead that held sustained
+        # epochs to 0.63x the device-step bound (BENCHMARKS.md r5
+        # interleaved run #2). g is passed as an np.int32 so it traces
+        # as an argument (one compile serves every group index).
+        @functools.partial(
+            jax.jit,
+            **({"out_shardings": take_out_spec}
+               if take_out_spec is not None else {}),
+        )
+        def _take_group(groups, g):
+            return jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, g, axis=0, keepdims=False
+                ),
+                groups,
+            )
+
+        self._take_group = _take_group
         self._epoch_groups = None  # dict name -> [G_nat,(K,)B,...]
         self._order: np.ndarray = np.arange(self._groups)
         self._skip_groups = 0
@@ -351,6 +382,6 @@ class DeviceEpochLoader:
         skip = self._skip_groups
         self._skip_groups = 0  # one-shot (resume semantics)
         for g in self._order[skip:]:
-            out = {k: v[int(g)] for k, v in self._epoch_groups.items()}
+            out = dict(self._take_group(self._epoch_groups, np.int32(g)))
             out.update(self._shared)
             yield out

@@ -58,14 +58,21 @@ def _jsonable(v):
 class Ledger:
     def __init__(self, out: Path):
         self.path = out / "campaign.json"
-        self.rec: Dict = {"stages": {}, "order": []}
+        # resume semantics: --skip re-runs load the existing ledger so
+        # skipped stages keep their rows and re-run stages overwrite
+        # theirs in place (the final file is always the full chain)
+        if self.path.exists():
+            self.rec: Dict = json.loads(self.path.read_text())
+        else:
+            self.rec = {"stages": {}, "order": []}
 
     def stage(self, name: str, result: Dict, wall_s: float):
         self.rec["stages"][name] = {
             "wall_s": round(wall_s, 1),
             **{k: _jsonable(v) for k, v in result.items()},
         }
-        self.rec["order"].append(name)
+        if name not in self.rec["order"]:
+            self.rec["order"].append(name)
         self.path.write_text(json.dumps(self.rec, indent=1))
         print(f"[campaign] <<< {name} done in {wall_s:.1f}s: "
               f"{json.dumps({k: _jsonable(v) for k, v in result.items()})[:400]}",
