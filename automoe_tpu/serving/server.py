@@ -22,10 +22,13 @@ measured trade (BENCHMARKS.md serving soak): with CLOSED-LOOP clients
 fixed outstanding-request population splits across the in-flight
 batches, halving batch sizes and doubling bucket padding, and on a
 transfer-bound path that measured ~2x WORSE than serial — hence the
-serve CLI defaults to 1. Use >=2 for open-loop traffic on hosts where
-device compute is comparable to H2D (production PCIe at large buckets).
-Serial/pipelined row equivalence is pinned in
-tests/test_serving_server.py.
+serve CLI defaults to 1. Under OPEN-LOOP arrivals the crossover is
+measured too (r5, BENCHMARKS.md open-loop soak): at the bf16 engine's
+saturation point depth-2 lifted sustained throughput 14.0 -> 22.2 rps
+(1.59x) and cut e2e p50 5x, and below saturation it cut int8 p50
+1.7-3.0x — use >=2 for fleet-front-door traffic; only the transport
+ceiling itself is out of its reach. Serial/pipelined row equivalence
+is pinned in tests/test_serving_server.py.
 """
 from __future__ import annotations
 
