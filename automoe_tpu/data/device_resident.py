@@ -75,9 +75,17 @@ class DeviceEpochLoader:
         seed: int = 0,
         steps_per_epoch: Optional[int] = None,
         shuffle: bool = True,
+        index_mode: bool = False,
     ):
         if not arrays:
             raise ValueError("arrays must be non-empty")
+        if index_mode and shared:
+            raise ValueError(
+                "index_mode yields base indices into the flat epoch — "
+                "per-batch `shared` constants can't ride along; merge "
+                "them into `arrays` or disable index_mode"
+            )
+        self.index_mode = bool(index_mode)
         n_local = len(next(iter(arrays.values())))
         for k, v in arrays.items():
             if len(v) != n_local:
@@ -170,11 +178,12 @@ class DeviceEpochLoader:
                         else jax.device_put(v)
                     )
 
+        grouped_layout = K > 1 and not self.index_mode
         out_spec = (
             jax.sharding.NamedSharding(
                 mesh,
                 jax.sharding.PartitionSpec(
-                    None, *(() if K == 1 else (None,)), "data"
+                    None, *((None,) if grouped_layout else ()), "data"
                 ),
             )
             if mesh is not None else None
@@ -187,7 +196,13 @@ class DeviceEpochLoader:
         def _reshuffle(flat_tree, perm):
             def one(x):
                 y = jnp.take(x, perm, axis=0)
-                lead = (self._groups_nat, K, B) if K > 1 else (n // B, B)
+                # index_mode keeps the FLAT [S, B, ...] batch layout —
+                # the indexed scan step slices its own batches, so no
+                # [G, K, B, ...] grouping (and no per-group gather copy)
+                lead = (
+                    (self._groups_nat, K, B) if grouped_layout
+                    else (n // B, B)
+                )
                 return y.reshape(lead + x.shape[1:])
 
             return jax.tree.map(one, flat_tree)
@@ -244,6 +259,7 @@ class DeviceEpochLoader:
         read_chunk: int = 256,
         verbose: bool = True,
         indices: Optional[Sequence[int]] = None,
+        index_mode: bool = False,
     ) -> "DeviceEpochLoader":
         """Materialize a map-style dataset into an HBM-resident loader.
 
@@ -332,7 +348,7 @@ class DeviceEpochLoader:
             )
         return cls(
             arrays, batch_size=B, group_size=K, mesh=mesh, shared=shared,
-            seed=seed, shuffle=shuffle,
+            seed=seed, shuffle=shuffle, index_mode=index_mode,
         )
 
     def __len__(self) -> int:  # BATCHES per epoch (Trainer schedule unit)
@@ -378,9 +394,23 @@ class DeviceEpochLoader:
             )
         self._skip_groups = skip_batches // self.group_size
 
+    @property
+    def epoch_batches(self):
+        """index_mode: the current epoch's flat [S, B, ...] device tree
+        (re-gathered by set_epoch); pass to the indexed scan step."""
+        return self._epoch_groups
+
     def __iter__(self):
         skip = self._skip_groups
         self._skip_groups = 0  # one-shot (resume semantics)
+        if self.index_mode:
+            K = self.group_size
+            for g in self._order[skip:]:
+                # base batch index of this group in the flat epoch; the
+                # Trainer hands it (with epoch_batches) to the indexed
+                # scan step — zero dispatches in the loader
+                yield {"__group_index__": np.int32(int(g) * K)}
+            return
         for g in self._order[skip:]:
             out = dict(self._take_group(self._epoch_groups, np.int32(g)))
             out.update(self._shared)

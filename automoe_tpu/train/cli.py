@@ -602,6 +602,11 @@ def cmd_gating(args):
             train.dataset, batch_size=args.batch_size, group_size=K,
             mesh=trainer.mesh, seed=args.seed,
             indices=indices,
+            # K>1: the indexed scan step slices batches out of the flat
+            # resident epoch inside ONE jitted dispatch per group —
+            # bit-identical to the grouped path (pinned in
+            # test_device_resident.py) and skips the group-sized gather
+            index_mode=K > 1,
         ))
         # Validation stays on the HOST loader: DeviceEpochLoader would
         # silently drop the trimmed tail samples (N -> N//B*B), making

@@ -246,6 +246,19 @@ class Trainer:
             if config.steps_per_call > 1
             else None
         )
+        if config.steps_per_call > 1:
+            # device-resident loaders in index_mode skip the per-group
+            # gather: this step slices batches out of the flat epoch
+            # inside the jitted program (train/step.py). Built eagerly
+            # (jit traces lazily, so this costs nothing unless used).
+            from automoe_tpu.train.step import make_indexed_scan_train_step
+
+            self.indexed_scan_train_step = make_indexed_scan_train_step(
+                loss_fn, k=config.steps_per_call, mesh=mesh,
+                state_sharding=state_sh,
+            )
+        else:
+            self.indexed_scan_train_step = None
         if config.grad_accum > 1:
             if config.steps_per_call > 1:
                 raise ValueError(
@@ -511,8 +524,20 @@ class Trainer:
         )
         if self.scan_train_step is not None:
             k = self.cfg.steps_per_call
+            dispatch = self.scan_train_step
+            if getattr(self.train_loader, "index_mode", False):
+                def dispatch(state, stacked, rng):
+                    # stacked is the loader's {"__group_index__": i32}
+                    # marker; the flat epoch tree is re-read each call
+                    # (set_epoch re-gathers it between epochs)
+                    return self.indexed_scan_train_step(
+                        state,
+                        self.train_loader.epoch_batches,
+                        stacked["__group_index__"],
+                        rng,
+                    )
             return self._train_epoch_grouped(
-                epoch, k, self.scan_train_step, steps_per_group=k
+                epoch, k, dispatch, steps_per_group=k
             )
         if self.accum_train_step is not None:
             return self._train_epoch_grouped(

@@ -110,6 +110,61 @@ def make_scan_train_step(
     )
 
 
+def make_indexed_scan_train_step(
+    loss_fn: LossFn,
+    k: int,
+    mesh: Optional[Mesh] = None,
+    state_sharding: Any = None,
+):
+    """`make_scan_train_step` that slices its own batches out of a
+    device-resident epoch INSIDE the jitted program (r5): the caller
+    passes the loader's whole flat-batch tree [S, B, ...] plus a scalar
+    base index, and the scan body dynamic-slices batch g0+i per
+    iteration. vs. the two-program path (a jitted group gather
+    producing a [K,B,...] copy, then the scan step) this saves one host
+    dispatch per group and the full group-sized HBM copy between
+    programs — on the v5e cached-gating pipeline the copy alone was
+    ~4 ms against the 73 ms group. The epoch tree is NOT donated (it is
+    reused by every group); only the state is.
+
+    Semantics are identical to make_scan_train_step on the same batch
+    sequence: same _train_body, same per-step RNG fold of state.step
+    (pinned by tests/test_device_resident.py::
+    test_indexed_scan_matches_pre_grouped)."""
+    import jax.numpy as jnp
+
+    def indexed_step(state, epoch_batches, g0, rng):
+        def body(st, idx):
+            batch = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, idx, axis=0, keepdims=False
+                ),
+                epoch_batches,
+            )
+            return _train_body(loss_fn, st, batch, rng)
+
+        return jax.lax.scan(
+            body, state, g0 + jnp.arange(k, dtype=jnp.int32)
+        )
+
+    if mesh is None:
+        return jax.jit(indexed_step, donate_argnums=(0,))
+
+    repl = replicate(mesh)
+    data = batch_sharding(mesh)  # [S, B, ...]: batch axis is dim 1
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    flat = NamedSharding(mesh, P(None, "data"))
+    state_sh = state_sharding if state_sharding is not None else repl
+    del data
+    return jax.jit(
+        indexed_step,
+        in_shardings=(state_sh, flat, repl, repl),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_grad_accum_train_step(
     loss_fn: LossFn,
     mesh: Optional[Mesh] = None,

@@ -144,6 +144,48 @@ def test_pre_grouped_training_equals_host_path(tmp_path):
                                    rtol=0, atol=0)
 
 
+def test_indexed_scan_matches_pre_grouped(tmp_path):
+    """index_mode (r5): the indexed scan step — which dynamic-slices its
+    own batches out of the flat resident epoch inside ONE jitted program
+    — must produce bit-identical final params to the pre-grouped path
+    (jitted group gather + scan step) over the same epoch. Shuffle ON so
+    the group-order permutation is exercised through both paths."""
+    arr = _seg_arrays(16)
+    B, K = 4, 2
+    wl = bdd_expert_workload("drivable", image_size=32)
+    val_b = [{k: v[:B] for k, v in arr.items()}]
+    val = _ListLoader(val_b)
+
+    tr_grouped = Trainer(
+        wl,
+        DeviceEpochLoader(arr, batch_size=B, group_size=K, seed=3),
+        val, _cfg(tmp_path / "g", steps_per_call=K),
+    )
+    tr_grouped.fit()
+
+    tr_indexed = Trainer(
+        wl,
+        DeviceEpochLoader(arr, batch_size=B, group_size=K, seed=3,
+                          index_mode=True),
+        val, _cfg(tmp_path / "i", steps_per_call=K),
+    )
+    tr_indexed.fit()
+
+    for a, b in zip(jax.tree.leaves(tr_grouped.state.params),
+                    jax.tree.leaves(tr_indexed.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+
+def test_indexed_mode_rejects_shared():
+    with pytest.raises(ValueError, match="index_mode"):
+        DeviceEpochLoader(
+            {"x": np.zeros((8, 1), np.float32)}, batch_size=2,
+            group_size=2, index_mode=True,
+            shared={"y": np.zeros((2, 1), np.float32)},
+        )
+
+
 def test_pre_grouped_save_every_steps(tmp_path):
     """save_every_steps bookkeeping counts BATCHES (not groups) under the
     pre-grouped path: with K=2 groups over 8 batches and save_every_steps=4,
