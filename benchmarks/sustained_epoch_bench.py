@@ -193,7 +193,10 @@ def run_pipeline(name: str, epochs: int, out_root: str,
         pre = measurer()
         bounds_log.append({
             "after_epoch": 0, "step_ms": round(pre, 3),
-            "bound_samples_per_sec": round(B / pre * 1e3, 1),
+            # sub-noise slope -> 0 on CPU smoke runs (timed_scan warns);
+            # report None rather than dividing by zero
+            "bound_samples_per_sec": (round(B / pre * 1e3, 1)
+                                      if pre > 0 else None),
             "measure_s": round(time.time() - t_m, 1),
         })
         print(json.dumps({"interleaved_bound": bounds_log[-1]}),
@@ -204,7 +207,8 @@ def run_pipeline(name: str, epochs: int, out_root: str,
             ms = measurer()
             bounds_log.append({
                 "after_epoch": epoch + 1, "step_ms": round(ms, 3),
-                "bound_samples_per_sec": round(B / ms * 1e3, 1),
+                "bound_samples_per_sec": (round(B / ms * 1e3, 1)
+                                          if ms > 0 else None),
                 "measure_s": round(time.time() - t_m, 1),
             })
             print(json.dumps({"interleaved_bound": bounds_log[-1]}),
@@ -242,7 +246,7 @@ def run_pipeline(name: str, epochs: int, out_root: str,
         fractions = []
         for i, row in enumerate(per_epoch):
             b = by_epoch.get(i + 1)
-            if b:
+            if b and b["bound_samples_per_sec"]:
                 frac = row["samples_per_sec"] / b["bound_samples_per_sec"]
                 row["same_minute_bound_samples_per_sec"] = (
                     b["bound_samples_per_sec"]
