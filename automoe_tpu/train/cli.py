@@ -602,11 +602,11 @@ def cmd_gating(args):
             train.dataset, batch_size=args.batch_size, group_size=K,
             mesh=trainer.mesh, seed=args.seed,
             indices=indices,
-            # K>1: the indexed scan step slices batches out of the flat
-            # resident epoch inside ONE jitted dispatch per group —
-            # bit-identical to the grouped path (pinned in
-            # test_device_resident.py) and skips the group-sized gather
-            index_mode=K > 1,
+            # grouped (two-program) path, NOT index_mode: measured 6%
+            # faster sustained on the v5e — the separate group-gather
+            # program overlaps the previous group's scan on the device
+            # queue, while index_mode's in-program slicing sits on the
+            # critical path (BENCHMARKS.md negative results, r5)
         ))
         # Validation stays on the HOST loader: DeviceEpochLoader would
         # silently drop the trimmed tail samples (N -> N//B*B), making

@@ -81,7 +81,7 @@ def build_detection(epochs: int):
     )
     train_loader = DeviceEpochLoader(
         arrays, batch_size=B, group_size=K,
-        steps_per_epoch=steps_per_epoch, seed=0, index_mode=True,
+        steps_per_epoch=steps_per_epoch, seed=0,
     )
     val_loader = DeviceEpochLoader(
         val_arrays, batch_size=B, group_size=1, seed=1, shuffle=False,
@@ -143,7 +143,7 @@ def build_gating_cached(epochs: int):
     val_arrays = {k: v[:nv] for k, v in arrays.items()}
     train_loader = DeviceEpochLoader(
         arrays, batch_size=B, group_size=K,
-        steps_per_epoch=steps_per_epoch, seed=0, index_mode=True,
+        steps_per_epoch=steps_per_epoch, seed=0,
     )
     val_loader = DeviceEpochLoader(
         val_arrays, batch_size=B, group_size=1, seed=1, shuffle=False,
