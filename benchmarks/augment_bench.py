@@ -64,19 +64,20 @@ def main():
         ),
     }
 
-    # augment-only: carry = (key, image sum) so each iteration re-keys
-    def aug_step(carry, b):
-        key, acc = carry
-        key = jax.random.fold_in(key, 0)
-        out = augment_detection(dict(b, image=b["image"] + acc * 1e-12), key)
-        return (key, acc + jnp.mean(out["image"].astype(jnp.float32))), None
-
+    # augment-only: carry = (raw key data, image sum) so each iteration
+    # re-keys. The carry holds jax.random.key_data (uint32), not a typed
+    # key: timed_scan force-fetches the carry by summing every leaf as
+    # float32, and typed key arrays refuse that cast.
     def v_aug(carry, b):
-        (key, acc), _ = aug_step(carry, b)
-        return (key, acc)
+        kd, acc = carry
+        key = jax.random.fold_in(jax.random.wrap_key_data(kd), 0)
+        out = augment_detection(dict(b, image=b["image"] + acc * 1e-12), key)
+        return (jax.random.key_data(key),
+                acc + jnp.mean(out["image"].astype(jnp.float32)))
 
-    ms_aug = timed_scan(v_aug, (jax.random.key(0), jnp.float32(0.0)),
-                        batch, k_hi=args.k_hi)
+    ms_aug = timed_scan(
+        v_aug, (jax.random.key_data(jax.random.key(0)), jnp.float32(0.0)),
+        batch, k_hi=args.k_hi)
     out = {
         "metric": "augment_ms",
         "batch": B, "image": S, "device": str(dev),
