@@ -56,20 +56,22 @@ def load_expert_checkpoints(
                 "params": params[f"expert_{i}"],
                 "batch_stats": stats.get(f"expert_{i}", {}),
             }
-            try:
-                loaded = load_variables(str(p), template)
-            except Exception:
-                if ecfg.type != "nuscenes":
-                    raise
-                # The CARLA fine-tune writes NuScenesImage2DHead trees
-                # (module names mlp_fc*/box_head — the reference wrapper's
-                # state-dict layout); the composite's NuScenesExpert names
-                # the same tensors decoder_fc*/bbox_head. Mirror the
-                # reference's load-time remap (automoe.py:250-262
-                # mlp.->decoder., box_head.->bbox_head.) for orbax
-                # sources: restore under the 2D head's names, graft back
-                # under the expert's.
+            # The CARLA fine-tune writes NuScenesImage2DHead trees
+            # (module names mlp_fc*/box_head — the reference wrapper's
+            # state-dict layout); the composite's NuScenesExpert names
+            # the same tensors decoder_fc*/bbox_head. Mirror the
+            # reference's load-time remap (automoe.py:250-262
+            # mlp.->decoder., box_head.->bbox_head.) for orbax sources.
+            # The layout must be detected from the checkpoint's METADATA:
+            # load_variables restores with partial_restore=True, which
+            # silently leaves template (init!) values in place for keys
+            # the checkpoint doesn't have — a mismatched-layout restore
+            # "succeeds" with untrained decoder weights rather than
+            # raising, so an exception fallback never fires.
+            if ecfg.type == "nuscenes" and "mlp_fc1" in _orbax_param_keys(p):
                 loaded = _restore_nuscenes_2d(str(p), template)
+            else:
+                loaded = load_variables(str(p), template)
         params[f"expert_{i}"] = loaded["params"]
         if loaded.get("batch_stats"):
             stats[f"expert_{i}"] = loaded["batch_stats"]
@@ -78,6 +80,21 @@ def load_expert_checkpoints(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+def _orbax_param_keys(path) -> set:
+    """Top-level key names under 'params' in an orbax checkpoint dir,
+    read from checkpoint metadata (no tensor loads). Empty set if the
+    metadata is unreadable — callers then take the plain-restore path."""
+    import orbax.checkpoint as ocp
+
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            md = ckptr.metadata(Path(path).resolve())
+        tree = getattr(md, "item_metadata", md)
+        return set(tree["params"].keys())
+    except Exception:
+        return set()
 
 
 _NUSCENES_2D_RENAME = {
