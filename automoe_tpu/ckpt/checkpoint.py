@@ -11,6 +11,7 @@ only) vs 'full' (weights + optimizer + schedule position)
 from __future__ import annotations
 
 import json
+import sys
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -253,12 +254,23 @@ class CheckpointManager:
 
 
 def load_variables(
-    path: str, template: Dict[str, Any], *, prefer_ema: bool = False
+    path: str, template: Dict[str, Any], *, prefer_ema: bool = False,
+    on_missing: str = "warn",
 ) -> Dict[str, Any]:
     """Restore only {params, batch_stats} from a checkpoint dir (for eval /
     expert-loading into AutoMoE). The checkpoint also stores
     step/opt_state/epoch/best_val_loss, which this template deliberately
     omits — PyTreeRestore(partial_restore=True) restores the subset.
+
+    partial_restore is directional: checkpoint keys absent from the
+    template are skipped ON PURPOSE, but template keys absent from the
+    checkpoint are silently left at their template (typically INIT)
+    values — a layout mismatch "succeeds" with untrained weights. The
+    r5 nuScenes-2D remap bug shipped exactly that way (ckpt/compose.py).
+    `on_missing` controls the guard, checked against checkpoint METADATA
+    (no tensor loads): "warn" (default) prints the missing paths to
+    stderr, "raise" errors, "ignore" for callers whose template is a
+    deliberate superset (e.g. compose's expected-partial 2D remap).
 
     prefer_ema=True loads the EMA weights (checkpoints written by a run
     with --ema-decay) into the 'params' slot — the deploy-side weights.
@@ -268,9 +280,62 @@ def load_variables(
         key: _to_host(template["params"]),
         "batch_stats": _to_host(template.get("batch_stats", {})),
     }
+    resolved = Path(path).resolve()
+    if on_missing != "ignore":
+        missing = _template_paths_missing_from_ckpt(resolved, host_t)
+        if missing:
+            msg = (
+                f"load_variables({path}): {len(missing)} template leaves "
+                f"have no counterpart in the checkpoint and would keep "
+                f"their template (init) values: {missing[:5]}"
+                + (" ..." if len(missing) > 5 else "")
+            )
+            if on_missing == "raise":
+                raise KeyError(msg)
+            print(f"WARNING: {msg}", file=sys.stderr, flush=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(
-            Path(path).resolve(),
+            resolved,
             args=ocp.args.PyTreeRestore(item=host_t, partial_restore=True),
         )
     return {"params": restored[key], "batch_stats": restored["batch_stats"]}
+
+
+def _leaf_paths(tree, prefix=()):
+    """Flatten a nested-dict tree into tuple paths of its non-dict leaves
+    (empty dicts contribute nothing, matching orbax's storage)."""
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.extend(_leaf_paths(v, prefix + (str(k),)))
+        return out
+    return [prefix]
+
+
+def _template_paths_missing_from_ckpt(path, host_t) -> list:
+    """Template leaf paths with no counterpart in the checkpoint's stored
+    tree, read from orbax metadata. Returns [] when the metadata is
+    unreadable (old/foreign layouts) — the guard then stays silent
+    rather than blocking a restore that may be fine."""
+    try:
+        with ocp.PyTreeCheckpointer() as ckptr:
+            md = ckptr.metadata(path)
+        tree = getattr(md, "item_metadata", md)
+        tree = {k: tree[k] for k in tree.keys()}  # dict-like -> dict
+        ckpt_paths = {
+            p for top in ("params", "ema_params", "batch_stats")
+            if isinstance(tree.get(top), dict)
+            for p in _leaf_paths(tree[top], (top,))
+        }
+        if not ckpt_paths:
+            return []
+        # batch_stats may be absent from stat-less checkpoints; only
+        # template sections the checkpoint stores at all are checked.
+        tops_present = {p[0] for p in ckpt_paths}
+        return sorted(
+            "/".join(p)
+            for p in _leaf_paths(host_t)
+            if p[0] in tops_present and p not in ckpt_paths
+        )
+    except Exception:
+        return []

@@ -122,7 +122,10 @@ def _restore_nuscenes_2d(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         },
     }
     inv = {v: k for k, v in _NUSCENES_2D_RENAME.items()}
-    loaded = load_variables(path, t2)
+    # expected-partial: a lidar-fused expert template holds pointnet/TNet
+    # modules the image-only 2D fine-tune never trained — those stay init
+    # by design (the reference loads the same subset, automoe.py:250-262)
+    loaded = load_variables(path, t2, on_missing="ignore")
     return {
         "params": {
             inv.get(k, k): v for k, v in loaded["params"].items()

@@ -169,6 +169,49 @@ def test_load_expert_checkpoints_orbax(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_load_variables_missing_key_guard(tmp_path, capfd):
+    """partial_restore silently keeps template (init) values for template
+    keys the checkpoint lacks — the r5 nuScenes-2D remap bug shipped that
+    way. load_variables now checks checkpoint METADATA: default warns on
+    stderr, on_missing='raise' errors, matched layouts stay silent."""
+    from automoe_tpu.ckpt.checkpoint import load_variables
+
+    tr = _make_trainer(tmp_path, epochs=1)
+    tr.fit()
+    ckpt = str(tmp_path / "ckpt" / "bdd_drivable" / "t" / "best")
+
+    good_t = {
+        "params": tr.state.params,
+        "batch_stats": tr.state.batch_stats,
+    }
+    capfd.readouterr()
+    out = load_variables(ckpt, good_t)
+    assert "WARNING" not in capfd.readouterr().err
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out["params"])[0]),
+        np.asarray(jax.tree.leaves(tr.state.params)[0]),
+    )
+
+    bad_t = {
+        "params": dict(tr.state.params,
+                       phantom_head={"kernel": np.zeros((2, 2), np.float32)}),
+        "batch_stats": tr.state.batch_stats,
+    }
+    out = load_variables(ckpt, bad_t)  # default: warn, keep going
+    err = capfd.readouterr().err
+    assert "phantom_head" in err and "WARNING" in err
+    # the phantom leaf stayed at its template value
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["phantom_head"]["kernel"]), 0.0
+    )
+
+    with pytest.raises(KeyError, match="phantom_head"):
+        load_variables(ckpt, bad_t, on_missing="raise")
+
+    out = load_variables(ckpt, bad_t, on_missing="ignore")  # silent
+    assert "WARNING" not in capfd.readouterr().err
+
+
 def test_allreduce_val_sums_multiprocess(monkeypatch):
     """Simulated 2-process aggregation: sums and counts add exactly, so
     every process derives the same val averages (reference
