@@ -210,7 +210,11 @@ def test_two_process_device_resident_gating(tmp_path, rng):
         "--data-root", str(root),
         "--cache-expert-features", "--device-resident",
         "--steps-per-call", "2",
-        "--epochs", "2", "--batch-size", "2", "--num-workers", "1",
+        # batch 4/process -> global 8 == the mesh data axis (2 procs x 4
+        # virtual devices): the framework-wide sharding contract (see
+        # parallel/mesh.py shard_batch) that the resident loader enforces
+        # with an explicit error. 2 (global 4 < 8) is a config error.
+        "--epochs", "2", "--batch-size", "4", "--num-workers", "1",
         "--image-size", "32",
         "--ckpt-root", str(tmp_path / "ckpt"),
         "--runs-root", str(tmp_path / "runs"),
