@@ -13,6 +13,7 @@ test executes it for real.
 from __future__ import annotations
 
 import json
+import os
 import socket
 import subprocess
 import sys
@@ -68,7 +69,7 @@ def _make_carla_root(tmp_path, rng, n=32):
     return root
 
 
-def _run_cluster(tmp_path, argv, retries=1):
+def _run_cluster(tmp_path, argv, retries=None):
     """Launch 2 worker processes running the train CLI with `argv` inside
     a shared jax.distributed cluster; return {proc: best_val_loss}.
 
@@ -76,13 +77,20 @@ def _run_cluster(tmp_path, argv, retries=1):
     before the workers ever reach user code (observed when a concurrent
     heavy job contends for CPU — VERDICT r4 weak #5). A failure whose
     output carries a cluster-infrastructure signature (init/heartbeat/
-    barrier/timeout) retries ONCE on a fresh port; a genuine test
-    failure (assertion, user-code traceback) never retries."""
+    barrier/timeout) retries on a fresh port; a genuine test failure
+    (assertion, user-code traceback) never retries. Retry count and the
+    per-process wall budget scale with the load average at launch (a
+    deliberate CPU burner on a 1-CPU box takes ~2 retries worth of wall
+    for the same work — measured r5 burner drill)."""
     _CLUSTER_SIGS = (
         "jax.distributed", "DEADLINE_EXCEEDED", "heartbeat",
         "barrier", "UNAVAILABLE", "failed to connect",
         "coordination service", "timed out",
     )
+    load = os.getloadavg()[0] / max(1, os.cpu_count())
+    if retries is None:
+        retries = 1 if load < 1.5 else 2
+    comm_timeout = 900 * (1 if load < 1.5 else 2)
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
     argv_file = tmp_path / "argv.json"
@@ -101,7 +109,7 @@ def _run_cluster(tmp_path, argv, retries=1):
         results, failed_out = {}, None
         for p in procs:
             try:
-                out, _ = p.communicate(timeout=900)
+                out, _ = p.communicate(timeout=comm_timeout)
             except subprocess.TimeoutExpired:
                 p.kill()
                 out, _ = p.communicate()
